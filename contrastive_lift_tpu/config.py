@@ -1,0 +1,190 @@
+"""Experiment configuration.
+
+Keeps the reference's knob names (reference: config/template/panopli_paper.yaml:1-92)
+so users of the original hydra configs can port experiment files 1:1, but uses a
+plain dataclass + YAML overlay instead of hydra (no dynamic config tree — every
+knob is a typed field, unknown keys are an error).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # experiment / bookkeeping
+    experiment: str = "fast_dev"
+    seed: Optional[int] = 42
+    save_epoch: int = 1
+    save_every_n_train_steps: int = 500
+    sanity_steps: int = -1
+    max_epoch: int = 10
+    val_check_percent: float = 1.0
+    val_check_interval: float = 1.0
+    resume: Optional[str] = None
+    subsample_frames: int = 1
+
+    # distilled (DINO) feature field
+    use_distilled_features_semantic: bool = False
+    use_distilled_features_instance: bool = False
+    feature_stop_grad: bool = False
+    feature_optimization_end_epoch: int = 5
+    feature_type: str = "nearest"
+
+    # semantics
+    segment_grouping_mode: str = "argmax_conf"  # none|argmax_conf|argmax_noconf|prob_conf|prob_noconf
+    semantic_weight_mode: str = "softmax"       # none|softmax|argmax
+    late_semantic_optimization: int = 1
+    use_symmetric_ce: bool = False
+    probabilistic_ce_mode: str = "TTAConf"      # TTAConf|NoTTAConf|none
+    use_feature_regularization: bool = False
+    lambda_feat: float = 0.04
+    ce_alpha: float = 0.85
+    ce_beta: float = 0.15
+
+    # optimization
+    lr: float = 5e-4
+    lambda_segment: float = 1.2
+    lambda_semantics: float = 0.1
+    lambda_instances: float = 0.1
+    lambda_rgb: float = 1.0
+    lambda_dist_reg: float = 0.005
+    weight_class_0: float = 0.0
+    weight_decay: float = 1e-8
+    stop_semantic_grad: bool = True
+    use_mlp_for_semantics: bool = True
+    use_mlp_for_instances: bool = True
+    decay_step: List[int] = field(default_factory=lambda: [9, 10])
+    decay_gamma: float = 0.5
+    warmup_epochs: int = 0
+    warmup_multiplier: float = 1.0
+
+    # batching
+    batch_size: int = 2048
+    max_rays_instances: int = 1024
+    max_rays_segments: int = 1024
+    batch_size_contrastive: int = 1
+    batch_size_segments: int = 32
+    max_instances: int = 25
+    chunk: int = 2048
+    chunk_segment: int = 16384
+    num_workers: int = 8
+    logger: str = "none"        # none|tensorboard|wandb
+    overfit: bool = False
+
+    # grid
+    min_grid_dim: int = 128
+    max_grid_dim: int = 192
+    pe_sem: int = 0
+    pe_ins: int = 0
+
+    # regularizers
+    lambda_tv_density: float = 0.1
+    lambda_tv_semantics: float = 0.02
+    lambda_tv_appearance: float = 0.01
+    lambda_tv_instances: float = 0.02
+    lambda_tv_distilled_features: float = 0.1
+    bbox_aabb_reset_epochs: List[int] = field(default_factory=lambda: [1, 2, 3])
+    grid_upscale_epochs: List[int] = field(default_factory=lambda: [1, 2, 3, 4])
+    instance_optimization_epoch: int = 3
+    segment_optimization_epoch: int = 6
+
+    # instance loss
+    instance_loss_mode: str = "linear_assignment"  # linear_assignment|contrastive|slow_fast
+    use_delta: bool = False
+    temperature: float = 100.0
+    optimize_instance_only: bool = False
+    use_DINO_style: bool = False
+    use_proj: bool = False
+
+    # rendering
+    perturb: float = 1.0
+    noise_std: float = 1.0
+    decay_noise: int = 20000
+    max_depth: float = 5.0
+    reweight_fg: bool = False
+
+    # data
+    dataset_class: str = "panopli"   # panopli|mos|synthetic
+    dataset_root: str = "data/scene"
+    image_dim: Tuple[int, int] = (512, 512)
+    visualized_indices: Optional[List[int]] = None
+
+    # TPU-specific additions (no reference equivalent)
+    data_axis: str = "data"              # mesh axis name for ray sharding
+    n_data_shards: int = 1               # devices on the data axis
+    max_labels_per_image: int = 128      # static pad for per-image instance labels
+    precision: str = "fp32"              # fp32|bf16 for head MLP compute
+    use_pallas: bool = True              # fused Pallas VM-sampling kernel on TPU
+
+    def __post_init__(self):
+        if isinstance(self.image_dim, int):
+            self.image_dim = (self.image_dim, self.image_dim)
+        if isinstance(self.image_dim, list):
+            self.image_dim = tuple(self.image_dim)
+
+    # The reference adds late_semantic_optimization to the instance/segment epochs
+    # at trainer construction (reference: trainer/train_panopli_tensorf.py:46-47).
+    def resolve_epochs(self) -> "Config":
+        out = dataclasses.replace(self)
+        out.instance_optimization_epoch = self.instance_optimization_epoch + self.late_semantic_optimization
+        out.segment_optimization_epoch = self.segment_optimization_epoch + self.late_semantic_optimization
+        return out
+
+    @property
+    def dim_feature_instance(self) -> int:
+        # slow_fast renders [fast, slow] concatenated
+        # (reference: trainer/train_panopli_tensorf.py:57)
+        return 2 * self.max_instances if self.instance_loss_mode == "slow_fast" else self.max_instances
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2, default=str))
+
+
+def _coerce(value, ftype):
+    if ftype in (int, float, str, bool) and value is not None:
+        return ftype(value)
+    return value
+
+
+def load_config(path=None, overrides: Optional[dict] = None) -> Config:
+    """Build a Config from an optional YAML/JSON file plus a dict of overrides.
+
+    Override keys must be existing Config fields (typo safety, unlike OmegaConf).
+    """
+    data = {}
+    if path is not None:
+        text = Path(path).read_text()
+        if str(path).endswith(".json"):
+            data = json.loads(text)
+        else:
+            import yaml  # lazy: only needed for YAML configs
+            data = yaml.safe_load(text) or {}
+    if overrides:
+        data.update(overrides)
+    known = {f.name: f for f in dataclasses.fields(Config)}
+    unknown = set(data) - set(known)
+    if unknown:
+        raise KeyError(f"Unknown config keys: {sorted(unknown)}")
+    return Config(**data)
+
+
+def parse_cli_overrides(pairs: List[str]) -> dict:
+    """Parse ``key=value`` CLI overrides with JSON-style value parsing."""
+    out = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise ValueError(f"Override must be key=value, got {pair!r}")
+        key, value = pair.split("=", 1)
+        try:
+            out[key] = json.loads(value)
+        except json.JSONDecodeError:
+            out[key] = value
+    return out

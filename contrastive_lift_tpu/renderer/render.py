@@ -1,0 +1,273 @@
+"""Volume renderer for the TensoRF panoptic field — static-shape, TPU-first.
+
+Replaces the reference ``TensoRFRenderer`` (reference:
+model/renderer/panopli_tensoRF_renderer.py:37-816). Key differences from the
+CUDA/torch design, dictated by XLA:
+
+  * every ray carries a fixed ``n_samples`` (AABB-clipped uniform stepping);
+    out-of-box samples are masked, not dropped — boolean fancy-indexing
+    becomes dense compute + ``where`` masks;
+  * the reference skips head evaluation where ``weight <= raymarch_weight_thres``;
+    we evaluate densely and zero the outputs with the same mask, so composited
+    maps are numerically identical while the compute stays static-shape;
+  * the whole pass (density -> transmittance -> heads -> composite) is one
+    jitted function; "chunking" is handled by the caller slicing the ray axis
+    (train) or by pjit-sharding rays across chips (scale-out).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import tensorf as tf
+from ..ops.compositing import composite, distortion_loss, raw_to_alpha
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static renderer knobs (hashable; safe as a jit static arg)."""
+    n_samples: int
+    num_semantic_classes: int
+    dim_feature_instance: int
+    semantic_weight_mode: str = "softmax"   # none|softmax|argmax
+    stop_semantic_grad: bool = True
+    feature_stop_grad: bool = False
+    distance_scale: float = 25.0
+    raymarch_weight_thres: float = 1e-4
+    alpha_mask_threshold: float = 0.0075
+    perturb: float = 1.0
+    white_bg: bool = False
+
+
+class RenderState(NamedTuple):
+    """Dynamic renderer state (arrays; changes on AABB shrink)."""
+    bbox_aabb: jnp.ndarray   # [2, 3]
+    inv_box_extent: jnp.ndarray  # [3] = 2/extent
+    units: jnp.ndarray       # [3] voxel size
+    step_size: jnp.ndarray   # scalar
+
+
+def make_render_state(bbox_aabb, grid_dim, step_ratio: float = 0.5) -> RenderState:
+    """Derive step size from AABB + grid resolution.
+
+    Reference: panopli_tensoRF_renderer.py:59-71.
+    """
+    bbox_aabb = jnp.asarray(bbox_aabb, jnp.float32)
+    grid_dim = jnp.asarray(grid_dim, jnp.float32)
+    extent = bbox_aabb[1] - bbox_aabb[0]
+    units = extent / (grid_dim - 1 + 1e-3)
+    step_size = jnp.mean(units) * step_ratio
+    return RenderState(bbox_aabb, 2.0 / extent, units, step_size)
+
+
+def compute_n_samples(bbox_aabb, grid_dim, step_ratio: float = 0.5) -> int:
+    """Host-side static sample count: box_diag/step + 1 (reference :69-71)."""
+    bbox_aabb = np.asarray(bbox_aabb, np.float32)
+    grid_dim = np.asarray(grid_dim, np.float32)
+    extent = bbox_aabb[1] - bbox_aabb[0]
+    units = extent / (grid_dim - 1 + 1e-3)
+    step = float(np.mean(units) * step_ratio)
+    diag = float(np.sqrt(np.sum(extent**2)))
+    return int(diag / step) + 1
+
+
+def normalize_coordinates(state: RenderState, xyz: jnp.ndarray) -> jnp.ndarray:
+    return (xyz - state.bbox_aabb[0]) * state.inv_box_extent - 1.0
+
+
+def sample_points_in_box(rays, state: RenderState, n_samples: int,
+                         perturb: float, rng: Optional[jax.Array], is_train: bool):
+    """AABB-clipped uniform samples along each ray.
+
+    rays [R, 8] = [o, d, near, far]. Returns (xyz [R,S,3], z_vals [R,S],
+    in_box mask [R,S]). Reference: panopli_tensoRF_renderer.py:800-816.
+    """
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    nears, fars = rays[:, 6], rays[:, 7]
+    vec = jnp.where(rays_d == 0, 1e-6, rays_d)
+    rate_a = (state.bbox_aabb[1] - rays_o) / vec
+    rate_b = (state.bbox_aabb[0] - rays_o) / vec
+    t_min = jnp.clip(jnp.max(jnp.minimum(rate_a, rate_b), axis=-1), nears, fars)
+
+    steps = jnp.arange(n_samples, dtype=jnp.float32)[None, :]  # [1, S]
+    if is_train and perturb != 0 and rng is not None:
+        jitter = perturb * jax.random.uniform(rng, (rays.shape[0], 1))
+        steps = steps + jitter
+    z_vals = t_min[:, None] + steps * state.step_size          # [R, S]
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    in_box = jnp.all((xyz >= state.bbox_aabb[0]) & (xyz <= state.bbox_aabb[1]), axis=-1)
+    return xyz, z_vals, in_box
+
+
+def _intervals(z_vals):
+    dists = jnp.concatenate([z_vals[:, 1:] - z_vals[:, :-1],
+                             jnp.zeros_like(z_vals[:, :1])], axis=-1)
+    mids = jnp.concatenate([(z_vals[:, 1:] + z_vals[:, :-1]) / 2,
+                            z_vals[:, -2:-1]], axis=-1)
+    return dists, mids
+
+
+def _density_weights(params, mcfg, rcfg, state, rays, rng, is_train,
+                     stop_grad: bool):
+    xyz, z_vals, in_box = sample_points_in_box(
+        rays, state, rcfg.n_samples, rcfg.perturb, rng, is_train)
+    dists, mids = _intervals(z_vals)
+    xyz_n = normalize_coordinates(state, xyz)
+    flat = xyz_n.reshape(-1, 3)
+
+    def density_fn(p):
+        sigma = tf.compute_density(p, mcfg, flat).reshape(xyz.shape[:2])
+        return jnp.where(in_box, sigma, 0.0)
+
+    sigma = density_fn(jax.lax.stop_gradient(params) if stop_grad else params)
+    alpha, weight, bg_weight = raw_to_alpha(sigma, dists * rcfg.distance_scale)
+    return xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_weight
+
+
+def _semantic_map_postprocess(rcfg, semantic_map):
+    if rcfg.semantic_weight_mode == "softmax":
+        semantic_map = semantic_map / (jnp.sum(semantic_map, -1, keepdims=True) + 1e-8)
+        semantic_map = jnp.log(semantic_map + 1e-8)
+    return semantic_map
+
+
+def _head_weights(rcfg, weight):
+    """The per-sample compositing weights used for semantic/instance heads."""
+    w = weight[..., None]
+    if rcfg.semantic_weight_mode == "argmax":
+        hot = jax.nn.one_hot(jnp.argmax(weight, axis=1), weight.shape[1], dtype=weight.dtype)
+        w = hot[..., None]
+    if rcfg.stop_semantic_grad:
+        w = jax.lax.stop_gradient(w)
+    return w
+
+
+def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
+                state: RenderState, rays: jnp.ndarray,
+                rng: Optional[jax.Array] = None, is_train: bool = False):
+    """Full render pass: rgb / semantics / instances / depth / distilled / dist-reg.
+
+    Reference: panopli_tensoRF_renderer.py:80-176. Returns a dict of maps.
+    """
+    rng_pts, rng_bg = (None, None)
+    if rng is not None:
+        rng_pts, rng_bg = jax.random.split(rng)
+
+    xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
+        params, mcfg, rcfg, state, rays, rng_pts, is_train, stop_grad=False)
+    R, S = weight.shape
+    flat = xyz_n.reshape(-1, 3)
+
+    dist_reg = distortion_loss(weight, mids, dists)
+    app_mask = weight > rcfg.raymarch_weight_thres          # [R, S]
+    mask_flat = app_mask.reshape(-1, 1)
+
+    viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (R, S, 3)).reshape(-1, 3)
+    rgb = tf.render_appearance(params, mcfg, viewdirs, flat)
+    rgb = jnp.where(mask_flat, rgb, 0.0).reshape(R, S, 3)
+
+    distilled = None
+    distilled_for_heads = None
+    if mcfg.use_distilled:
+        distilled = tf.render_distilled(params, mcfg, flat)
+        distilled = jnp.where(mask_flat, distilled, 0.0)
+        distilled_for_heads = (jax.lax.stop_gradient(distilled)
+                               if rcfg.feature_stop_grad else distilled)
+
+    semantics = tf.render_semantics(params, mcfg, flat, distilled_for_heads)
+    semantics = jnp.where(mask_flat, semantics, 0.0).reshape(R, S, -1)
+
+    instances = tf.render_instances(params, mcfg, flat, distilled_for_heads)
+    instances = jnp.where(mask_flat, instances, 0.0).reshape(R, S, -1)
+
+    opacity = jnp.sum(weight, -1)
+    rgb_map = composite(weight, rgb)
+
+    w = _head_weights(rcfg, weight)
+    semantic_map = jnp.sum(w * semantics, axis=-2)
+    instance_map = jnp.sum(w * instances, axis=-2)
+    distilled_map = jnp.zeros((1, 1), jnp.float32)
+    if mcfg.use_distilled:
+        distilled_map = jnp.sum(w * distilled.reshape(R, S, -1), axis=-2)
+        distilled_map = distilled_map / (
+            jnp.linalg.norm(distilled_map, axis=-1, keepdims=True) + 1e-12)
+
+    semantic_map = _semantic_map_postprocess(rcfg, semantic_map)
+
+    white = rcfg.white_bg
+    if is_train and rng_bg is not None:
+        coin = jax.random.uniform(rng_bg, ()) < 0.5
+        rgb_map = jnp.where(white | coin, rgb_map + (1.0 - opacity[..., None]), rgb_map)
+    elif white:
+        rgb_map = rgb_map + (1.0 - opacity[..., None])
+    rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+
+    depth_map = jax.lax.stop_gradient(jnp.sum(weight * z_vals, -1))
+
+    return {
+        "rgb": rgb_map, "semantics": semantic_map, "instances": instance_map,
+        "depth": depth_map, "distilled": distilled_map, "dist_reg": dist_reg,
+        "opacity": opacity,
+    }
+
+
+def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
+                             state: RenderState, rays: jnp.ndarray,
+                             rng: Optional[jax.Array] = None, is_train: bool = True):
+    """Instance-embedding pass with no-grad density/weights.
+
+    Returns (instance_map [R, D], surface points_xyz [R, 3]).
+    Reference: panopli_tensoRF_renderer.py:178-217.
+    """
+    xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
+        params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True)
+    weight = jax.lax.stop_gradient(weight)
+    R, S = weight.shape
+    flat = xyz_n.reshape(-1, 3)
+    app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
+
+    distilled_for_heads = None
+    if mcfg.use_distilled:
+        distilled = tf.render_distilled(params, mcfg, flat)
+        distilled = jnp.where(app_mask, distilled, 0.0)
+        distilled_for_heads = (jax.lax.stop_gradient(distilled)
+                               if rcfg.feature_stop_grad else distilled)
+
+    instances = tf.render_instances(params, mcfg, flat, distilled_for_heads)
+    instances = jnp.where(app_mask, instances, 0.0).reshape(R, S, -1)
+    instance_map = composite(weight, instances)
+
+    distance_map = jax.lax.stop_gradient(jnp.sum(weight * z_vals, -1))
+    points_xyz = rays[:, 0:3] + distance_map[:, None] * rays[:, 3:6]
+    return instance_map, jax.lax.stop_gradient(points_xyz)
+
+
+def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
+                            state: RenderState, rays: jnp.ndarray,
+                            rng: Optional[jax.Array] = None, is_train: bool = True):
+    """Semantic-logit pass with detached weights for the segment-grouping loss.
+
+    Reference: panopli_tensoRF_renderer.py:259-300.
+    """
+    xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
+        params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True)
+    weight = jax.lax.stop_gradient(weight)
+    R, S = weight.shape
+    flat = xyz_n.reshape(-1, 3)
+    app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
+
+    distilled_for_heads = None
+    if mcfg.use_distilled:
+        distilled = tf.render_distilled(params, mcfg, flat)
+        distilled = jnp.where(app_mask, distilled, 0.0)
+        distilled_for_heads = (jax.lax.stop_gradient(distilled)
+                               if rcfg.feature_stop_grad else distilled)
+
+    segments = tf.render_semantics(params, mcfg, flat, distilled_for_heads)
+    segments = jnp.where(app_mask, segments, 0.0).reshape(R, S, -1)
+    segment_map = composite(weight, segments)
+    return _semantic_map_postprocess(rcfg, segment_map)
