@@ -1,0 +1,198 @@
+"""The jitted two-phase train step.
+
+One XLA program per (stage, epoch-gate) combination covers what the reference
+spreads over Lightning manual optimization (reference:
+trainer/train_panopli_tensorf.py:148-228):
+
+  phase 1: render the main ray batch, MSE + TV + distortion + distilled-feature
+           + semantic CE + segment-grouping losses, update the main partition;
+  EMA:     slow <- 0.9 slow + 0.1 fast (slow_fast mode);
+  phase 2: render per-image instance ray bundles (no-grad density), apply the
+           instance clustering loss, update the instance partition.
+
+Epoch gates are static Python bools — flipping a gate recompiles once, which
+mirrors the reference re-running optimizer setup at those same epochs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import losses as L
+from ..models import tensorf as tf
+from ..renderer import render as R
+from .state import TrainState, ema_update_slow, make_optimizers
+
+
+@dataclass(frozen=True)
+class TrainGates:
+    """Static epoch gates (reference: epoch checks at trainer :176,185,210)."""
+    semantics_on: bool = True
+    instances_on: bool = False
+    segments_on: bool = False
+    features_on: bool = False  # distilled-feature L1 still being optimized
+
+
+def gates_for_epoch(cfg, epoch: int) -> TrainGates:
+    return TrainGates(
+        semantics_on=epoch >= cfg.late_semantic_optimization,
+        instances_on=epoch >= cfg.instance_optimization_epoch,
+        segments_on=(cfg.segment_grouping_mode != "none"
+                     and epoch >= cfg.segment_optimization_epoch),
+        features_on=(epoch <= cfg.feature_optimization_end_epoch),
+    )
+
+
+def _gate_epoch(cfg, gates: TrainGates) -> int:
+    """An epoch value consistent with the static gates, for TV epoch-gating."""
+    epoch = 0
+    if gates.semantics_on:
+        epoch = max(epoch, cfg.late_semantic_optimization)
+    if gates.instances_on:
+        epoch = max(epoch, cfg.instance_optimization_epoch)
+    return epoch
+
+
+def main_phase_loss(params, cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
+                    state_r: R.RenderState, gates: TrainGates, batch: dict,
+                    rng, lambda_dist_reg, class_weights):
+    """Phase-1 loss (reference trainer :152-197). Returns (loss, metrics)."""
+    out = R.render_rays(params, mcfg, rcfg, state_r, batch["rays"], rng, is_train=True)
+    mask = batch["mask"]
+    rgb = jnp.where(mask[:, None], out["rgb"], 0.0)
+    rgbs = jnp.where(mask[:, None], batch["rgbs"], 0.0)
+    confs = jnp.where(mask, batch["confidences"], 0.0)
+
+    metrics = {}
+    loss = jnp.asarray(0.0)
+    if cfg.lambda_rgb > 0:
+        loss_rgb = L.mse_loss(rgb, rgbs)
+        loss_tv = L.total_tv_loss(params, cfg, _gate_epoch(cfg, gates))
+        loss_feat = jnp.asarray(0.0)
+        if mcfg.use_distilled and gates.features_on:
+            loss_tv = loss_tv + (L.branch_tv(params, "feature", 1e-2, 1e-3)
+                                 * cfg.lambda_tv_distilled_features)
+            loss_feat = L.l1_loss(out["distilled"], batch["feats"])
+        loss = cfg.lambda_rgb * (loss_rgb + loss_tv
+                                 + out["dist_reg"] * lambda_dist_reg
+                                 + loss_feat * cfg.lambda_feat)
+        metrics.update(loss_rgb=loss_rgb, loss_feat=loss_feat,
+                       loss_dist_reg=out["dist_reg"])
+
+    loss_sem = jnp.asarray(0.0)
+    if gates.semantics_on:
+        loss_sem = L.semantic_loss(
+            out["semantics"], batch["semantics"], batch["probabilities"], confs,
+            cfg.probabilistic_ce_mode, class_weights, cfg.use_symmetric_ce,
+            cfg.ce_alpha, cfg.ce_beta)
+        loss = loss + cfg.lambda_semantics * loss_sem
+    metrics["loss_semantics"] = loss_sem
+    metrics["psnr"] = -10.0 * jnp.log10(L.mse_loss(jax.lax.stop_gradient(rgb), rgbs))
+    return loss, metrics
+
+
+def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
+                       rng, class_weights):
+    """Segment-grouping loss (reference trainer :185-195)."""
+    seg_map = R.render_segment_features(
+        params, mcfg, rcfg, state_r, batch_seg["rays"], rng, is_train=True)
+    return L.segment_grouping_loss(
+        seg_map, batch_seg["group"], batch_seg["confidences"],
+        cfg.batch_size_segments, class_weights, cfg.segment_grouping_mode,
+        valid=batch_seg.get("valid"))
+
+
+def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng):
+    """Phase-2 loss over the per-image contrastive bundles (reference :210-221).
+
+    batch_inst: rays [I,R,8], labels [I,R] (compact ids), confidences [I,R],
+    valid [I,R]. The reference's python loop over images becomes a vmap.
+    """
+    rngs = jax.random.split(rng, batch_inst["rays"].shape[0])
+
+    def one_image(rays, labels, confs, valid, k):
+        feats, points_xyz = R.render_instance_features(
+            params, mcfg, rcfg, state_r, rays, k, is_train=True)
+        if cfg.instance_loss_mode == "slow_fast":
+            half = mcfg.dim_feature_instance // 2
+            fast, slow = feats[:, :half], feats[:, half:]
+            if mcfg.use_proj:
+                fast, slow = tf.apply_proj(params, fast, slow)
+            slow = jax.lax.stop_gradient(slow)
+            return L.slow_fast_loss(fast, slow, labels, confs,
+                                    cfg.max_labels_per_image, valid=valid)
+        if cfg.instance_loss_mode == "contrastive":
+            if cfg.use_delta:
+                feats = points_xyz + feats
+            loss = L.contrastive_loss(feats, labels, cfg.temperature, valid=valid)
+            if cfg.use_delta:
+                loss = loss + 0.1 * jnp.mean(
+                    jnp.linalg.norm(feats - points_xyz, axis=-1))
+            return loss
+        if cfg.instance_loss_mode == "linear_assignment":
+            return L.linear_assignment_loss(feats, labels, confs,
+                                            cfg.max_labels_per_image, valid=valid)
+        raise NotImplementedError(cfg.instance_loss_mode)
+
+    losses = jax.vmap(one_image)(batch_inst["rays"], batch_inst["labels"],
+                                 batch_inst["confidences"], batch_inst["valid"], rngs)
+    return jnp.sum(losses)
+
+
+def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
+                    gates: TrainGates, class_weights, params,
+                    donate: bool = True):
+    """Build the jitted train step for one (stage, gates) combination.
+
+    ``params`` is only used for its pytree structure (optax partition labels).
+    """
+    main_tx, inst_tx, _ = make_optimizers(cfg, params)
+
+    def step(state: TrainState, state_r: R.RenderState, batch_main: dict,
+             batch_inst: Optional[dict], batch_seg: Optional[dict],
+             rng, lr_scale, lambda_dist_reg):
+        rng_main, rng_seg, rng_inst = jax.random.split(rng, 3)
+        params_ = state.params
+        opt_main = state.opt_state_main
+        metrics = {}
+
+        if not cfg.optimize_instance_only:
+            def loss_fn(p):
+                loss, m = main_phase_loss(
+                    p, cfg, mcfg, rcfg, state_r, gates, batch_main, rng_main,
+                    lambda_dist_reg, class_weights)
+                if gates.segments_on and batch_seg is not None:
+                    seg = segment_phase_loss(p, cfg, mcfg, rcfg, state_r,
+                                             batch_seg, rng_seg, class_weights)
+                    loss = loss + cfg.lambda_semantics * cfg.lambda_segment * seg
+                    m["loss_segment"] = seg
+                return loss, m
+
+            (loss_main, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_)
+            updates, opt_main = main_tx.update(grads, opt_main, params_)
+            params_ = jax.tree.map(lambda p_, u: p_ + u * lr_scale, params_, updates)
+            metrics.update(m)
+            metrics["loss_main"] = loss_main
+
+        opt_inst = state.opt_state_inst
+        if gates.instances_on and batch_inst is not None:
+            if cfg.instance_loss_mode == "slow_fast":
+                params_ = ema_update_slow(params_, 0.9, mcfg.use_proj)
+
+            def inst_loss_fn(p):
+                return instance_phase_loss(p, cfg, mcfg, rcfg, state_r,
+                                           batch_inst, rng_inst)
+
+            loss_inst, grads_i = jax.value_and_grad(inst_loss_fn)(params_)
+            updates_i, opt_inst = inst_tx.update(grads_i, opt_inst, params_)
+            params_ = jax.tree.map(lambda p_, u: p_ + u * lr_scale, params_, updates_i)
+            metrics["loss_clustering"] = loss_inst
+
+        new_state = TrainState(params_, opt_main, opt_inst, state.step + 1)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

@@ -1,0 +1,140 @@
+"""End-to-end training smoke tests on the synthetic sphere scene."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from contrastive_lift_tpu.config import Config
+from contrastive_lift_tpu.data.base import (InstanceBundleSampler,
+                                            RayPoolSampler,
+                                            SegmentBundleSampler)
+from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+from contrastive_lift_tpu.factory import build_model, class_weights_for
+from contrastive_lift_tpu.train.schedule import lr_scale_for_epoch
+from contrastive_lift_tpu.train.state import init_train_state, ema_update_slow
+from contrastive_lift_tpu.train.step import (TrainGates, gates_for_epoch,
+                                             make_train_step)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_synthetic_scene(num_spheres=4, num_train=6, num_val=2,
+                                image_dim=(24, 32), seed=0)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return Config(
+        batch_size=256, chunk=256, min_grid_dim=24, max_grid_dim=32,
+        max_instances=3, instance_loss_mode="slow_fast", use_DINO_style=True,
+        max_rays_instances=128, max_labels_per_image=16,
+        batch_size_segments=4, max_rays_segments=64,
+        lambda_dist_reg=0.001, seed=0,
+    ).resolve_epochs()
+
+
+def _setup(cfg, scene):
+    mcfg, params, rcfg, state_r = build_model(
+        cfg, scene.num_semantic_classes, scene.scene_bounds,
+        (cfg.min_grid_dim,) * 3)
+    weights = class_weights_for(cfg, scene.segmentation)
+    return mcfg, params, rcfg, state_r, weights
+
+
+def test_schedule():
+    assert lr_scale_for_epoch(0, [9, 10], 0.5) == 1.0
+    assert lr_scale_for_epoch(9, [9, 10], 0.5) == 0.5
+    assert lr_scale_for_epoch(10, [9, 10], 0.5) == 0.25
+
+
+def test_gates_follow_reference_epochs(small_cfg):
+    g0 = gates_for_epoch(small_cfg, 0)
+    assert not g0.semantics_on and not g0.instances_on
+    g_late = gates_for_epoch(small_cfg, small_cfg.instance_optimization_epoch)
+    assert g_late.instances_on and g_late.semantics_on
+
+
+def test_rgb_phase_loss_decreases(small_cfg, scene):
+    cfg = small_cfg
+    mcfg, params, rcfg, state_r, weights = _setup(cfg, scene)
+    state = init_train_state(cfg, params)
+    sampler = RayPoolSampler(scene.train_frames, scene.num_semantic_classes)
+    gates = TrainGates(semantics_on=False, instances_on=False)
+    step = make_train_step(cfg, mcfg, rcfg, gates, weights, params)
+    nrng = np.random.default_rng(0)
+    losses = []
+    for i in range(30):
+        batch = sampler.sample(nrng, cfg.batch_size)
+        state, metrics = step(state, state_r, batch, None, None,
+                              jax.random.PRNGKey(i), 1.0, 0.0)
+        losses.append(float(metrics["loss_rgb"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.6 * np.mean(losses[:5]), losses
+
+
+def test_full_step_with_all_phases(small_cfg, scene):
+    cfg = small_cfg
+    mcfg, params, rcfg, state_r, weights = _setup(cfg, scene)
+    state = init_train_state(cfg, params)
+    main_s = RayPoolSampler(scene.train_frames, scene.num_semantic_classes)
+    inst_s = InstanceBundleSampler(scene.train_frames, cfg.max_rays_instances,
+                                   cfg.max_labels_per_image)
+    seg_s = SegmentBundleSampler(scene.train_frames, cfg.max_rays_segments)
+    nrng = np.random.default_rng(1)
+    # warm up density first — with an empty field every sample is below
+    # raymarch_weight_thres and the instance/segment heads see zero weight
+    # (the reference gates these phases to later epochs for the same reason)
+    warm = make_train_step(cfg, mcfg, rcfg,
+                           TrainGates(semantics_on=False), weights, params)
+    for i in range(15):
+        state, _ = warm(state, state_r, main_s.sample(nrng, cfg.batch_size),
+                        None, None, jax.random.PRNGKey(1000 + i), 1.0, 0.0)
+    gates = TrainGates(semantics_on=True, instances_on=True, segments_on=True)
+    step = make_train_step(cfg, mcfg, rcfg, gates, weights, params)
+    slow_before = np.array(state.params["instance_mlp"]["slow"]["layers"][0]["w"])
+    fast_before = np.array(state.params["instance_mlp"]["fast"]["layers"][0]["w"])
+    density_before = np.array(state.params["density"]["planes"][0])
+    for i in range(3):
+        bm = main_s.sample(nrng, cfg.batch_size)
+        bi = inst_s.sample(nrng, cfg.batch_size_contrastive)
+        bs = seg_s.sample(nrng, cfg.batch_size_segments)
+        state, metrics = step(state, state_r, bm, bi, bs,
+                              jax.random.PRNGKey(100 + i), 1.0, 0.001)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    # DINO-style: the slow net moved by EMA even though the optimizer skips it
+    slow_after = np.array(state.params["instance_mlp"]["slow"]["layers"][0]["w"])
+    fast_after = np.array(state.params["instance_mlp"]["fast"]["layers"][0]["w"])
+    assert not np.allclose(slow_before, slow_after)
+    assert not np.allclose(fast_before, fast_after)
+    # density grid updated by main phase
+    assert not np.allclose(density_before,
+                           np.asarray(state.params["density"]["planes"][0]))
+
+
+def test_ema_update_math():
+    params = {"instance_mlp": {
+        "fast": {"layers": [{"w": jnp.ones((2, 2)), "b": jnp.zeros(2)}]},
+        "slow": {"layers": [{"w": jnp.zeros((2, 2)), "b": jnp.zeros(2)}]},
+    }}
+    out = ema_update_slow(params, momentum=0.9)
+    np.testing.assert_allclose(np.asarray(out["instance_mlp"]["slow"]["layers"][0]["w"]),
+                               0.1 * np.ones((2, 2)), rtol=1e-6)
+
+
+def test_linear_assignment_mode_runs(scene):
+    cfg = Config(batch_size=128, min_grid_dim=24, max_instances=8,
+                 instance_loss_mode="linear_assignment",
+                 max_rays_instances=64, max_labels_per_image=8, seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r, weights = _setup(cfg, scene)
+    state = init_train_state(cfg, params)
+    main_s = RayPoolSampler(scene.train_frames, scene.num_semantic_classes)
+    inst_s = InstanceBundleSampler(scene.train_frames, cfg.max_rays_instances,
+                                   cfg.max_labels_per_image)
+    gates = TrainGates(semantics_on=True, instances_on=True)
+    step = make_train_step(cfg, mcfg, rcfg, gates, weights, params)
+    nrng = np.random.default_rng(2)
+    state, metrics = step(state, state_r, main_s.sample(nrng, cfg.batch_size),
+                          inst_s.sample(nrng, 1), None,
+                          jax.random.PRNGKey(0), 1.0, 0.0)
+    assert np.isfinite(float(metrics["loss_clustering"]))
