@@ -1,0 +1,197 @@
+"""Mean-shift parity vs sklearn; PQ parity vs hand-built cases and (when the
+reference checkout is present) the reference implementation run as an oracle."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from contrastive_lift_tpu.inference.cluster import (
+    assign_clusters, cluster, cluster_segmentwise,
+    create_instances_from_semantics)
+from contrastive_lift_tpu.metrics.panoptic_quality import (
+    panoptic_quality, panoptic_quality_match)
+from contrastive_lift_tpu.ops.meanshift import (MeanShiftTPU, bin_seeds,
+                                                silverman_bandwidth)
+
+
+def _blobs(rng, centers, n_per=200, std=0.03):
+    pts = np.concatenate([c + std * rng.standard_normal((n_per, len(c)))
+                          for c in centers]).astype(np.float32)
+    labels = np.repeat(np.arange(len(centers)), n_per)
+    return pts, labels
+
+
+def test_bin_seeds_matches_sklearn():
+    from sklearn.cluster import get_bin_seeds
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+    ours = bin_seeds(pts, 0.2, min_bin_freq=3)
+    ref = get_bin_seeds(pts, 0.2, min_bin_freq=3)
+    ours_sorted = ours[np.lexsort(ours.T)]
+    ref_sorted = np.asarray(ref, np.float32)[np.lexsort(np.asarray(ref).T)]
+    np.testing.assert_allclose(ours_sorted, ref_sorted, atol=1e-5)
+
+
+def test_meanshift_recovers_blobs_and_matches_sklearn():
+    from sklearn.cluster import MeanShift
+    rng = np.random.default_rng(1)
+    centers = [np.array([0.2, 0.2, 0.2]), np.array([0.8, 0.8, 0.8]),
+               np.array([0.2, 0.8, 0.5])]
+    pts, true_labels = _blobs(rng, centers)
+    bw = 0.15
+    ours = MeanShiftTPU(bandwidth=bw, bin_seeding=True, min_bin_freq=10,
+                        cluster_all=False).fit(pts)
+    ref = MeanShift(bandwidth=bw, bin_seeding=True, min_bin_freq=10,
+                    cluster_all=False).fit(pts)
+    assert len(ours.cluster_centers_) == len(ref.cluster_centers_) == 3
+    # centers match up to ordering
+    oc = ours.cluster_centers_[np.lexsort(ours.cluster_centers_.T)]
+    rc = ref.cluster_centers_[np.lexsort(ref.cluster_centers_.T)]
+    np.testing.assert_allclose(oc, rc, atol=2e-3)
+    # predict() labels agree after mapping center orders
+    mapping = {i: int(np.argmin(np.linalg.norm(
+        ref.cluster_centers_ - c, axis=1))) for i, c in enumerate(ours.cluster_centers_)}
+    ours_pred = np.array([mapping[l] for l in ours.predict(pts)])
+    np.testing.assert_array_equal(ours_pred, ref.predict(pts))
+
+
+def test_meanshift_orphan_labels():
+    rng = np.random.default_rng(2)
+    pts, _ = _blobs(rng, [np.zeros(2), np.ones(2)], n_per=150, std=0.02)
+    outlier = np.array([[5.0, 5.0]], np.float32)
+    data = np.concatenate([pts, outlier])
+    ms = MeanShiftTPU(bandwidth=0.1, bin_seeding=True, min_bin_freq=5,
+                      cluster_all=False).fit(data)
+    assert ms.labels_[-1] == -1  # outlier not within bandwidth of any center
+
+
+def test_silverman_matches_scipy():
+    from scipy.stats import gaussian_kde
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(1000, 3)).astype(np.float64)
+    kde = gaussian_kde(pts.T, bw_method="silverman")
+    np.testing.assert_allclose(silverman_bandwidth(1000, 3),
+                               kde.covariance_factor(), rtol=1e-9)
+
+
+def test_create_instances_from_semantics():
+    inst = np.array([[0.1, 0.2], [0.3, 0.4]], np.float32)
+    sem = np.array([[0.9, 0.1, 0.0], [0.1, 0.8, 0.1]], np.float32)
+    padded = create_instances_from_semantics(inst, sem, thing_classes=[1])
+    assert padded.shape == (2, 3)
+    assert padded[0, 0] == np.inf      # class 0 = stuff
+    assert padded[1, 0] == -np.inf     # class 1 = thing
+    np.testing.assert_allclose(padded[:, 1:], inst)
+
+
+def test_cluster_pipeline_end_to_end():
+    rng = np.random.default_rng(4)
+    centers = [np.array([0.1, 0.1, 0.1]), np.array([0.9, 0.9, 0.9])]
+    pts, labels = _blobs(rng, centers, n_per=300, std=0.02)
+    # half the rows are stuff
+    n = len(pts)
+    stuff = rng.uniform(0, 1, (n // 2, 3)).astype(np.float32)
+    feats = np.concatenate([pts, stuff])
+    sem = np.zeros((len(feats), 2), np.float32)
+    sem[:n, 1] = 1.0   # things are class 1
+    sem[n:, 0] = 1.0
+    padded = create_instances_from_semantics(feats, sem, thing_classes=[1])
+    onehot = cluster(padded, bandwidth=0.15, num_images=1)
+    pred = onehot[0].argmax(-1)
+    assert np.all(pred[n:] == 0)           # stuff -> instance 0
+    thing_pred = pred[:n]
+    assert set(np.unique(thing_pred)) == {1, 2}
+    # clusters align with the true blobs
+    same0 = np.unique(thing_pred[labels == 0])
+    same1 = np.unique(thing_pred[labels == 1])
+    assert len(same0) == 1 and len(same1) == 1 and same0 != same1
+
+
+def test_cluster_segmentwise_and_assign():
+    rng = np.random.default_rng(5)
+    pts_a, _ = _blobs(rng, [np.array([0.1] * 3), np.array([0.9] * 3)], 200, 0.02)
+    pts_b, _ = _blobs(rng, [np.array([0.3] * 3), np.array([0.7] * 3)], 200, 0.02)
+    feats = np.concatenate([pts_a, pts_b])
+    sem = np.zeros((len(feats), 3), np.float32)
+    sem[:len(pts_a), 1] = 1.0
+    sem[len(pts_a):, 2] = 1.0
+    padded = create_instances_from_semantics(feats, sem, thing_classes=[1, 2])
+    onehot, centroids = cluster_segmentwise(padded, sem, bandwidth=0.3,
+                                            num_images=1)
+    pred = onehot[0].argmax(-1)
+    assert len(centroids[1]) == 2 and len(centroids[2]) == 2
+    assert len(np.unique(pred)) == 4  # labels offset across classes (1..4)
+    # cached-centroid assignment reproduces the same grouping
+    onehot2 = assign_clusters(padded, sem, centroids, num_images=1)
+    pred2 = onehot2[0].argmax(-1)
+    # same partition (label ids may differ)
+    for label in np.unique(pred):
+        members = pred == label
+        assert len(np.unique(pred2[members])) == 1
+
+
+# ---------------------------------------------------------------------------
+# Panoptic quality
+# ---------------------------------------------------------------------------
+
+def test_pq_perfect_prediction():
+    rng = np.random.default_rng(6)
+    sem = rng.integers(1, 3, (64, 64))
+    inst = rng.integers(0, 4, (64, 64))
+    target = np.stack([sem, inst], -1)
+    pq, sq, rq = panoptic_quality(target.copy(), target.copy(), things={1, 2},
+                                  stuff=set(), allow_unknown_preds_category=True)
+    assert pq == pytest.approx(1.0)
+    assert sq == pytest.approx(1.0)
+    assert rq == pytest.approx(1.0)
+
+
+def test_pq_half_overlap():
+    # one thing instance covering left half in pred, 3/4 in target: IoU = 2/3
+    pred = np.zeros((4, 8, 2), np.int64)
+    target = np.zeros((4, 8, 2), np.int64)
+    pred[:, :4] = [1, 1]
+    target[:, :6] = [1, 1]
+    pred[:, 4:] = [2, 0]
+    target[:, 6:] = [2, 0]
+    pq, sq, rq = panoptic_quality(pred, target, things={1}, stuff={2},
+                                  allow_unknown_preds_category=True,
+                                  robust=0.0)
+    # class 1: IoU 16/24 = 2/3 > 0.5 -> TP with iou 2/3
+    # class 2: IoU 8/16 = 0.5, NOT > 0.5 -> one FP + one FN -> PQ 0
+    assert pq == pytest.approx((2 / 3 + 0.0) / 2)
+    assert rq == pytest.approx((1.0 + 0.0) / 2)
+
+
+def test_pq_parity_with_reference_impl():
+    """Run the reference PQ (pure torch) as an oracle when available."""
+    ref_dir = Path("/root/reference")
+    if not ref_dir.exists():
+        pytest.skip("reference checkout not available")
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, str(ref_dir))
+    try:
+        from util.panoptic_quality import panoptic_quality as ref_pq
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference import failed: {exc}")
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        sem_t = rng.integers(0, 5, (50, 50))
+        inst_t = rng.integers(0, 6, (50, 50))
+        sem_p = np.where(rng.uniform(size=(50, 50)) < 0.8, sem_t,
+                         rng.integers(0, 5, (50, 50)))
+        inst_p = np.where(rng.uniform(size=(50, 50)) < 0.8, inst_t,
+                          rng.integers(0, 6, (50, 50)))
+        pred = np.stack([sem_p, inst_p], -1)
+        target = np.stack([sem_t, inst_t], -1)
+        things, stuff = {1, 2, 3}, {0, 4}
+        ref = ref_pq(torch.from_numpy(pred.copy()), torch.from_numpy(target.copy()),
+                     things, stuff, allow_unknown_preds_category=True)
+        ours = panoptic_quality(pred, target, things, stuff,
+                                allow_unknown_preds_category=True)
+        np.testing.assert_allclose(ours, [float(r) for r in ref], atol=1e-9,
+                                   err_msg=f"trial {trial}")
