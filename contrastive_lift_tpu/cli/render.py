@@ -1,0 +1,62 @@
+"""Render CLI (reference entry: inference/render_panopli.py:430-458).
+
+Renders the test split from a checkpoint at 2x samples, clusters the instance
+embeddings (mean-shift / HDBSCAN / cached centroids), and writes the
+reference-compatible artifact tree (instance_features.npy, pred_semantics/,
+pred_surrogateid/, vis grids).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from ..config import Config, load_config
+from ..data import load_scene
+from ..inference.render import load_model_for_inference, render_checkpoint_outputs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ckpt_path", type=str, required=True)
+    parser.add_argument("--bandwidth", type=float, default=0.15)
+    parser.add_argument("--cluster_size", type=int, default=500,
+                        help="min_cluster_size for HDBSCAN")
+    parser.add_argument("--use_dbscan", action="store_true")
+    parser.add_argument("--segmentwise", action="store_true")
+    parser.add_argument("--subsample", type=int, default=1)
+    parser.add_argument("--use_silverman", action="store_true")
+    parser.add_argument("--cached_centroids_path", type=str, default=None)
+    parser.add_argument("--image_dim", type=int, nargs=2, default=[256, 384],
+                        help="render resolution (reference hardcodes 256x384)")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--chunk", type=int, default=8192)
+    args = parser.parse_args(argv)
+
+    ckpt = Path(args.ckpt_path)
+    # read the snapshotted run config next to the checkpoint
+    cfg_path = ckpt.parents[1] / "config.json"
+    cfg = load_config(cfg_path) if cfg_path.exists() else Config()
+    cfg.subsample_frames = args.subsample
+    cfg.image_dim = tuple(args.image_dim)
+
+    scene = load_scene(cfg, load_train=False)
+    frames = scene.val_frames
+    params, mcfg, rcfg, state_r, meta = load_model_for_inference(
+        ckpt, cfg, scene.num_semantic_classes, white_bg=scene.white_bg)
+
+    suffix = ("_dbscan" if args.use_dbscan else "") + ("_seg" if args.segmentwise else "")
+    output_dir = (Path(args.output_dir) if args.output_dir else
+                  Path("runs") / f"{Path(cfg.dataset_root).stem}_test_{cfg.experiment}{suffix}")
+    summary = render_checkpoint_outputs(
+        params, mcfg, rcfg, state_r, cfg, frames,
+        scene.segmentation.fg_classes, output_dir,
+        bandwidth=args.bandwidth, use_dbscan=args.use_dbscan,
+        segmentwise=args.segmentwise, use_silverman=args.use_silverman,
+        cluster_size=args.cluster_size,
+        cached_centroids_path=args.cached_centroids_path, chunk=args.chunk)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,7 @@ class FrameData:
     intrinsics: Optional[np.ndarray] = None
     cam2normscene: Optional[np.ndarray] = None
     depth: Optional[np.ndarray] = None
+    segments: Optional[np.ndarray] = None  # [H*W] 2D segment ids (m2f_segments)
 
 
 @dataclass
@@ -161,10 +162,11 @@ class SegmentBundleSampler:
         self.max_rays = max_rays
         self.segments = []
         for f in frames:
-            for seg_id in np.unique(f.instances):
+            seg_map = f.segments if f.segments is not None else f.instances
+            for seg_id in np.unique(seg_map):
                 if seg_id <= 0:
                     continue
-                sel = np.where((f.instances == seg_id) & f.mask)[0]
+                sel = np.where((seg_map == seg_id) & f.mask)[0]
                 if sel.size < 4:
                     continue
                 self.segments.append({

@@ -1,0 +1,151 @@
+"""Inference pipeline: checkpoint -> rendered maps -> clustering -> artifacts.
+
+The TPU equivalent of the reference render CLI (reference:
+inference/render_panopli.py:31-189): render every test frame at doubled sample
+count (step_ratio x0.5), keep the fast half of slow-fast embeddings, build
+±inf-padded thing features, cluster (in-process or from cached centroids), and
+write ``instance_features.npy`` / ``thing_features.npy`` / ``slow_features.npy``,
+per-frame ``pred_semantics/*.png`` (uint8), ``pred_surrogateid/*.png`` (uint16)
+and visualization grids — byte-compatible artifact layout.
+"""
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.base import FrameData
+from ..factory import make_model_config, make_render_config
+from ..io.checkpoint import load_checkpoint
+from ..models import tensorf as tf
+from ..renderer import render as R
+from ..utils import geometry as geo
+from ..utils.viz import save_image, visualize_panoptic_outputs
+from .cluster import (assign_clusters, cluster, cluster_segmentwise,
+                      create_instances_from_semantics)
+
+
+def load_model_for_inference(ckpt_path, cfg: Config, num_semantic_classes: int,
+                             step_ratio: float = 0.25, white_bg: bool = False):
+    """Rebuild (params, mcfg, rcfg, state_r) at the checkpoint's stored shapes.
+
+    The reference replays grid upsampling to recover shapes
+    (render_panopli.py:91-98); our checkpoints carry grid_dim/bbox_aabb
+    metadata so the model is built directly at target resolution.
+    ``step_ratio`` defaults to 0.25 = inference-time 2x samples
+    (reference :104 halves the 0.5 training ratio).
+    """
+    params, meta = load_checkpoint(ckpt_path)
+    grid_dim = tuple(meta["grid_dim"])
+    bbox_aabb = np.asarray(meta["bbox_aabb"], np.float32)
+    mcfg = make_model_config(cfg, num_semantic_classes)
+    rcfg = make_render_config(cfg, bbox_aabb, grid_dim, mcfg,
+                              step_ratio=step_ratio, white_bg=white_bg)
+    state_r = R.make_render_state(bbox_aabb, grid_dim, step_ratio)
+    params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
+    return params, mcfg, rcfg, state_r, meta
+
+
+def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
+                  chunk: int = 8192, progress: bool = False):
+    """Chunked full-pass render of a frame list -> per-frame map dicts."""
+    fn = jax.jit(lambda p, r: R.render_rays(p, mcfg, rcfg, state_r, r, None, False))
+    results = []
+    for fi, frame in enumerate(frames):
+        rays = frame.rays.astype(np.float32)
+        n = rays.shape[0]
+        pad = (-n) % chunk
+        rays_p = np.pad(rays, ((0, pad), (0, 0)))
+        outs = [fn(params, rays_p[i:i + chunk])
+                for i in range(0, len(rays_p), chunk)]
+        cat = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
+               for k in ("rgb", "semantics", "instances", "depth")}
+        results.append(cat)
+        if progress:
+            print(f"rendered frame {fi + 1}/{len(frames)}", flush=True)
+    return results
+
+
+def render_checkpoint_outputs(
+        params, mcfg: tf.TensoRFConfig, rcfg, state_r, cfg: Config,
+        frames: List[FrameData], thing_classes, output_dir,
+        bandwidth: float = 0.15, use_dbscan: bool = False,
+        segmentwise: bool = False, use_silverman: bool = False,
+        cluster_size: int = 500, cached_centroids_path=None,
+        chunk: int = 8192, save_visualizations: bool = True) -> dict:
+    """Full inference: render + cluster + write artifacts. Returns summary."""
+    output_dir = Path(output_dir)
+    for sub in ("vis_semantics_and_surrogate", "pred_semantics", "pred_surrogateid"):
+        (output_dir / sub).mkdir(parents=True, exist_ok=True)
+    h, w = cfg.image_dim
+
+    t_render0 = time.time()
+    per_frame = render_frames(params, mcfg, rcfg, state_r, frames, chunk)
+    t_render = time.time() - t_render0
+
+    all_sem = [f["semantics"] for f in per_frame]
+    all_inst = np.concatenate([f["instances"] for f in per_frame])
+    slow_features = None
+    if mcfg.slow_fast_mode:
+        slow_features = all_inst[:, cfg.max_instances:]
+        all_inst = all_inst[:, :cfg.max_instances]  # keep fast features
+    if cfg.use_delta:
+        rays = np.concatenate([f.rays for f in frames])
+        dists = np.concatenate([f["depth"] for f in per_frame])
+        all_inst = all_inst + rays[:, 0:3] + dists[:, None] * rays[:, 3:6]
+
+    np.save(output_dir / "instance_features.npy", all_inst)
+    sem_cat = np.concatenate(all_sem)
+    thing_features = create_instances_from_semantics(all_inst, sem_cat, thing_classes)
+    np.save(output_dir / "thing_features.npy", thing_features)
+    if slow_features is not None:
+        np.save(output_dir / "slow_features.npy", slow_features)
+
+    t_cluster0 = time.time()
+    num_images = len(frames)
+    if cached_centroids_path is not None:
+        with open(cached_centroids_path, "rb") as f:
+            all_centroids = pickle.load(f)
+        instances_oh = assign_clusters(thing_features, sem_cat, all_centroids,
+                                       num_images)
+    elif segmentwise:
+        instances_oh, _ = cluster_segmentwise(
+            thing_features, sem_cat, bandwidth, num_images, use_dbscan,
+            use_silverman, cluster_size)
+    else:
+        instances_oh = cluster(thing_features, bandwidth, num_images,
+                               use_dbscan, use_silverman, cluster_size)
+    t_cluster = time.time() - t_cluster0
+
+    from PIL import Image
+    for i, frame in enumerate(frames):
+        name = f"{frame.name}.png"
+        out = per_frame[i]
+        sem_label = out["semantics"].argmax(-1).reshape(h, w)
+        inst_label = np.asarray(instances_oh[i]).argmax(-1).reshape(h, w)
+        Image.fromarray(sem_label.astype(np.uint8)).save(
+            output_dir / "pred_semantics" / name)
+        Image.fromarray(inst_label.astype(np.uint16)).save(
+            output_dir / "pred_surrogateid" / name)
+        if save_visualizations:
+            depth = (geo.distance_to_depth(frame.intrinsics, out["depth"], h, w)
+                     if frame.intrinsics is not None else out["depth"])
+            grid = visualize_panoptic_outputs(
+                out["rgb"], out["semantics"], np.asarray(instances_oh[i]),
+                np.asarray(depth), None, None, None, h, w,
+                thing_classes=thing_classes, visualize_entropy=False)
+            save_image(output_dir / "vis_semantics_and_surrogate" / name, grid)
+
+    rays_total = num_images * h * w
+    return {
+        "num_frames": num_images,
+        "render_seconds": t_render,
+        "cluster_seconds": t_cluster,
+        "rays_per_second": rays_total / max(t_render, 1e-9),
+        "output_dir": str(output_dir),
+    }
