@@ -34,10 +34,23 @@ def _look_at(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
     return c2w
 
 
+ROOM_RADIUS = 0.9  # enclosing shell: every ray terminates on a surface, like
+                   # real indoor scans (otherwise the reference's random
+                   # white-bg compositing during training fights the data)
+
+
 def _render_analytic(rays_o, rays_d, centers, radii, colors, classes):
-    """Nearest ray-sphere hit per ray: rgb, semantic, instance(1-based), depth."""
+    """Nearest ray-sphere hit per ray: rgb, semantic, instance(1-based), depth.
+
+    Background = the inside of a big room shell (class 0, instance 0) with a
+    smooth color gradient, hit at the ray's far sphere intersection.
+    """
     n = rays_o.shape[0]
-    best_t = np.full(n, np.inf, np.float32)
+    # room shell: cameras are inside, so take the far root
+    b_room = np.sum(rays_o * rays_d, -1)
+    disc_room = b_room * b_room - (np.sum(rays_o * rays_o, -1) - ROOM_RADIUS**2)
+    t_room = -b_room + np.sqrt(np.maximum(disc_room, 0.0))
+    best_t = t_room.astype(np.float32)
     hit_idx = np.full(n, -1, np.int32)
     for i, (c, r) in enumerate(zip(centers, radii)):
         oc = rays_o - c
@@ -49,12 +62,11 @@ def _render_analytic(rays_o, rays_d, centers, radii, colors, classes):
         best_t = np.where(valid, t, best_t)
         hit_idx = np.where(valid, i, hit_idx)
 
-    hit = hit_idx >= 0
-    best_t = np.where(hit, best_t, 0.0)
     pts = rays_o + best_t[:, None] * rays_d
     light = np.array([0.3, -0.5, 0.8])
     light = light / np.linalg.norm(light)
-    rgb = np.full((n, 3), 0.05, np.float32)  # dark background
+    # room wall: gentle positional gradient so RGB learning is non-trivial
+    rgb = (0.25 + 0.2 * (pts / ROOM_RADIUS + 1.0) / 2.0).astype(np.float32)
     for i, (c, col) in enumerate(zip(centers, colors)):
         m = hit_idx == i
         if not m.any():
@@ -63,9 +75,10 @@ def _render_analytic(rays_o, rays_d, centers, radii, colors, classes):
         normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
         shade = 0.6 + 0.4 * np.clip(normal @ light, 0, 1)
         rgb[m] = col[None, :] * shade[:, None]
+    hit = hit_idx >= 0
     semantics = np.where(hit, classes[np.maximum(hit_idx, 0)], 0).astype(np.int32)
     instances = np.where(hit, hit_idx + 1, 0).astype(np.int32)
-    depth = np.where(hit, best_t, 0.0).astype(np.float32)
+    depth = best_t.astype(np.float32)
     return rgb, semantics, instances, depth
 
 

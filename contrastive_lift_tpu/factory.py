@@ -34,7 +34,7 @@ def make_model_config(cfg: Config, num_semantic_classes: int) -> tf.TensoRFConfi
 
 def make_render_config(cfg: Config, scene_bounds, grid_dim, mcfg: tf.TensoRFConfig,
                        step_ratio: float = 0.5, white_bg: bool = False,
-                       n_samples_override=None) -> R.RenderConfig:
+                       n_samples_override=None, head_topk=None) -> R.RenderConfig:
     n_samples = (n_samples_override if n_samples_override is not None
                  else R.compute_n_samples(scene_bounds, grid_dim, step_ratio))
     return R.RenderConfig(
@@ -46,6 +46,8 @@ def make_render_config(cfg: Config, scene_bounds, grid_dim, mcfg: tf.TensoRFConf
         feature_stop_grad=cfg.feature_stop_grad,
         perturb=cfg.perturb,
         white_bg=white_bg,
+        head_topk=head_topk,
+        head_dtype="bfloat16" if cfg.precision in ("bf16", "bfloat16") else "float32",
     )
 
 

@@ -31,7 +31,8 @@ from .cluster import (assign_clusters, cluster, cluster_segmentwise,
 
 
 def load_model_for_inference(ckpt_path, cfg: Config, num_semantic_classes: int,
-                             step_ratio: float = 0.25, white_bg: bool = False):
+                             step_ratio: float = 0.25, white_bg: bool = False,
+                             head_topk: str | int | None = "auto"):
     """Rebuild (params, mcfg, rcfg, state_r) at the checkpoint's stored shapes.
 
     The reference replays grid upsampling to recover shapes
@@ -46,22 +47,40 @@ def load_model_for_inference(ckpt_path, cfg: Config, num_semantic_classes: int,
     mcfg = make_model_config(cfg, num_semantic_classes)
     rcfg = make_render_config(cfg, bbox_aabb, grid_dim, mcfg,
                               step_ratio=step_ratio, white_bg=white_bg)
+    if head_topk == "auto":
+        # trained fields are surface-peaked: the top quarter of samples per
+        # ray covers everything above raymarch_weight_thres (see
+        # tests/test_topk_render.py), at ~4x less head compute
+        head_topk = max(64, rcfg.n_samples // 4)
+    if head_topk:
+        import dataclasses
+        rcfg = dataclasses.replace(rcfg, head_topk=int(head_topk))
     state_r = R.make_render_state(bbox_aabb, grid_dim, step_ratio)
     params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
     return params, mcfg, rcfg, state_r, meta
 
 
 def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
-                  chunk: int = 8192, progress: bool = False):
-    """Chunked full-pass render of a frame list -> per-frame map dicts."""
-    fn = jax.jit(lambda p, r: R.render_rays(p, mcfg, rcfg, state_r, r, None, False))
+                  chunk: int = 8192, progress: bool = False,
+                  use_fused: bool = True):
+    """Chunked full-pass render of a frame list -> per-frame map dicts.
+
+    Builds the fused dense grids once (parameters are fixed at inference) so
+    every chunk renders on the one-gather-per-sample fast path.
+    """
+    fused = None
+    if use_fused:
+        from ..ops.fused_grid import build_fused_grids
+        fused = jax.jit(lambda p: build_fused_grids(p, mcfg))(params)
+    fn = jax.jit(lambda p, f, r: R.render_rays(p, mcfg, rcfg, state_r, r, None,
+                                               False, fused=f))
     results = []
     for fi, frame in enumerate(frames):
         rays = frame.rays.astype(np.float32)
         n = rays.shape[0]
         pad = (-n) % chunk
         rays_p = np.pad(rays, ((0, pad), (0, 0)))
-        outs = [fn(params, rays_p[i:i + chunk])
+        outs = [fn(params, fused, rays_p[i:i + chunk])
                 for i in range(0, len(rays_p), chunk)]
         cat = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
                for k in ("rgb", "semantics", "instances", "depth")}

@@ -227,10 +227,11 @@ def _branch_feature(params, name: str, xyz: jnp.ndarray) -> jnp.ndarray:
 
 
 def render_appearance(params, cfg: TensoRFConfig, viewdirs, xyz,
-                      compute_dtype=jnp.float32) -> jnp.ndarray:
+                      compute_dtype=jnp.float32, feats=None) -> jnp.ndarray:
     """RGB head. Input order: [feat, viewdirs, PE(feat), PE(viewdirs)]
-    (reference: tensoRF.py:400-411)."""
-    feats = _branch_feature(params, "appearance", xyz)
+    (reference: tensoRF.py:400-411). ``feats`` may be precomputed (fused grid)."""
+    if feats is None:
+        feats = _branch_feature(params, "appearance", xyz)
     indata = [feats, viewdirs]
     if cfg.pe_feat > 0:
         indata.append(positional_encoding(feats, cfg.pe_feat))
@@ -240,9 +241,10 @@ def render_appearance(params, cfg: TensoRFConfig, viewdirs, xyz,
     return jax.nn.sigmoid(out)
 
 
-def render_distilled(params, cfg: TensoRFConfig, xyz) -> jnp.ndarray:
+def render_distilled(params, cfg: TensoRFConfig, xyz, feats=None) -> jnp.ndarray:
     """64-d tanh distilled-feature head. Reference: tensoRF.py:90-94,139-140."""
-    feats = _branch_feature(params, "feature", xyz)
+    if feats is None:
+        feats = _branch_feature(params, "feature", xyz)
     return jnp.tanh(mlp_apply(params["feature_mlp"], feats))
 
 
@@ -256,7 +258,7 @@ def _head_input(cfg, pe, xyz_or_feat, distilled):
 
 
 def render_semantics(params, cfg: TensoRFConfig, xyz, distilled=None,
-                     compute_dtype=jnp.float32) -> jnp.ndarray:
+                     compute_dtype=jnp.float32, feats=None) -> jnp.ndarray:
     """Semantic head over xyz (use_semantic_mlp) or grid features.
 
     Reference: tensoRF.py:565-594 and 142-145.
@@ -265,7 +267,7 @@ def render_semantics(params, cfg: TensoRFConfig, xyz, distilled=None,
         feat = xyz
         pe = cfg.pe_sem
     else:
-        feat = _branch_feature(params, "semantic", xyz)
+        feat = feats if feats is not None else _branch_feature(params, "semantic", xyz)
         pe = 0
     d = distilled if cfg.use_distilled_features_semantic else None
     out = mlp_apply(params["semantic_mlp"], _head_input(cfg, pe, feat, d), compute_dtype)
@@ -275,7 +277,7 @@ def render_semantics(params, cfg: TensoRFConfig, xyz, distilled=None,
 
 
 def render_instances(params, cfg: TensoRFConfig, xyz, distilled=None,
-                     compute_dtype=jnp.float32) -> jnp.ndarray:
+                     compute_dtype=jnp.float32, feats=None) -> jnp.ndarray:
     """Instance head; in slow_fast mode returns [fast, slow] concatenated.
 
     Reference: tensoRF.py:462-511 and 152-156.
@@ -284,7 +286,7 @@ def render_instances(params, cfg: TensoRFConfig, xyz, distilled=None,
         feat = xyz
         pe = cfg.pe_ins
     else:
-        feat = _branch_feature(params, "instance", xyz)
+        feat = feats if feats is not None else _branch_feature(params, "instance", xyz)
         pe = 0
     d = distilled if cfg.use_distilled_features_instance else None
     mlp_in = _head_input(cfg, pe, feat, d)

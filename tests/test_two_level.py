@@ -1,0 +1,66 @@
+"""Two-level empty-space-skipping render must match the dense path on a
+trained (surface-peaked) field."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from contrastive_lift_tpu.config import Config
+from contrastive_lift_tpu.data.base import RayPoolSampler
+from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+from contrastive_lift_tpu.factory import build_model, class_weights_for
+from contrastive_lift_tpu.ops.fused_grid import build_fused_grids
+from contrastive_lift_tpu.renderer import render as R
+from contrastive_lift_tpu.train.state import init_train_state
+from contrastive_lift_tpu.train.step import TrainGates, make_train_step
+
+
+def test_two_level_matches_dense_after_training():
+    scene = make_synthetic_scene(num_spheres=3, num_train=4, num_val=1,
+                                 image_dim=(24, 32), seed=5)
+    cfg = Config(batch_size=256, min_grid_dim=24, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 lr=2e-3, seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(
+        cfg, scene.num_semantic_classes, scene.scene_bounds, (24,) * 3)
+    weights = class_weights_for(cfg, scene.segmentation)
+    state = init_train_state(cfg, params)
+    sampler = RayPoolSampler(scene.train_frames, scene.num_semantic_classes)
+    step = make_train_step(cfg, mcfg, rcfg, TrainGates(semantics_on=False),
+                           weights, params)
+    nrng = np.random.default_rng(0)
+    for i in range(30):
+        state, _ = step(state, state_r, sampler.sample(nrng, 256), None, None,
+                        jax.random.PRNGKey(i), 1.0, 0.0)
+    params = state.params
+
+    fused = build_fused_grids(params, mcfg, corner_features=("appearance",),
+                              with_occupancy=True, supervoxel=4)
+    assert fused.coarse_occ is not None
+    rays = scene.val_frames[0].rays[::5][:128]
+
+    dense = R.render_rays(params, mcfg, rcfg, state_r, rays, None, False)
+    rcfg_fast = dataclasses.replace(rcfg, coarse_stride=4,
+                                    max_segments=rcfg.n_samples // 4)
+    fast = R.render_rays(params, mcfg, rcfg_fast, state_r, rays, None, False,
+                         fused=fused)
+    # with max_segments covering every segment the only difference is the
+    # occupancy threshold on empty space (alpha floor ~1e-6 per sample)
+    np.testing.assert_allclose(np.asarray(fast["rgb"]),
+                               np.asarray(dense["rgb"]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(fast["depth"]),
+                               np.asarray(dense["depth"]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(fast["instances"]),
+                               np.asarray(dense["instances"]), atol=2e-2)
+    sem_d = np.asarray(dense["semantics"]).argmax(-1)
+    sem_f = np.asarray(fast["semantics"]).argmax(-1)
+    assert (sem_d == sem_f).mean() > 0.97
+
+    # tighter budget still agrees (surfaces span few segments)
+    rcfg_tight = dataclasses.replace(rcfg, coarse_stride=4, max_segments=24,
+                                     head_topk=32)
+    fast2 = R.render_rays(params, mcfg, rcfg_tight, state_r, rays, None, False,
+                          fused=fused)
+    np.testing.assert_allclose(np.asarray(fast2["rgb"]),
+                               np.asarray(dense["rgb"]), atol=5e-2)
