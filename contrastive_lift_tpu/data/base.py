@@ -84,17 +84,18 @@ class RayPoolSampler:
         self.n = self.rays.shape[0]
 
     def sample(self, rng: np.random.Generator, batch_size: int) -> dict:
+        from .native import gather_rows
         idx = rng.integers(0, self.n, batch_size)
         batch = {
-            "rays": self.rays[idx],
-            "rgbs": self.rgbs[idx],
+            "rays": gather_rows(self.rays, idx),
+            "rgbs": gather_rows(self.rgbs, idx),
             "semantics": self.semantics[idx],
-            "probabilities": self.probabilities[idx],
+            "probabilities": gather_rows(self.probabilities, idx),
             "confidences": self.confidences[idx],
             "mask": self.mask[idx],
         }
         if self.feats is not None:
-            batch["feats"] = self.feats[idx]
+            batch["feats"] = gather_rows(self.feats, idx)
         return batch
 
 

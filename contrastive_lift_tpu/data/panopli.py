@@ -132,10 +132,9 @@ class PanopLiSceneReader:
     # -- frame loading --------------------------------------------------------
 
     def _rays_for(self, name: str) -> np.ndarray:
+        from .native import build_rays
         h, w = self.image_dim
-        dirs = geo.ray_directions_from_intrinsics(h, w, self.intrinsics)
-        return np.asarray(geo.make_ray_bundle(dirs, self.cam2normscene[name]),
-                          np.float32)
+        return build_rays(h, w, self.intrinsics, self.cam2normscene[name])
 
     def load_frame(self, index: int, with_gt: bool = False,
                    with_segments: bool = False) -> FrameData:

@@ -69,7 +69,11 @@ class Trainer:
         self.global_step = 0
         self._step_fn = None
         self._step_key = None
-        self.metrics_file = (self.run_dir / "metrics.jsonl").open("a")
+        from ..utils.logger import make_logger, snapshot_source
+        from ..utils.observability import print_model_summary
+        snapshot_source(self.run_dir)  # code + config snapshot (reproducibility)
+        self.logger = make_logger(cfg.logger, self.run_dir)
+        print_model_summary(params)
         self.voxel_schedule = occ.grid_upscale_voxel_counts(
             cfg.min_grid_dim, cfg.max_grid_dim, len(cfg.grid_upscale_epochs))
 
@@ -156,6 +160,7 @@ class Trainer:
             m = self.train_epoch(epoch)
             val = self.validate(epoch)
             self._log({"epoch": epoch, "val": val, **m})
+            self.visualize()
             self.save("last")
         return self.state
 
@@ -222,8 +227,32 @@ class Trainer:
             config_dict=self.cfg.to_dict())
 
     def _log(self, record: dict):
-        self.metrics_file.write(json.dumps(record, default=float) + "\n")
-        self.metrics_file.flush()
+        flat = dict(record)
+        if isinstance(flat.get("val"), dict):
+            val = flat.pop("val")
+            flat.update({f"val/{k}": v for k, v in val.items()})
+        self.logger.log(flat, step=self.global_step)
         printable = {k: (round(v, 4) if isinstance(v, float) else v)
                      for k, v in record.items() if not isinstance(v, dict)}
         print(printable, flush=True)
+
+    def visualize(self, indices=None, max_frames: int = 4):
+        """Save panoptic visualization grids for selected val frames
+        (reference: on_validation_epoch_end image dumps :412-429)."""
+        from ..utils.viz import visualize_panoptic_outputs
+        h, w = self.scene.image_dim
+        indices = (self.cfg.visualized_indices
+                   if indices is None and self.cfg.visualized_indices
+                   else indices) or list(range(min(max_frames,
+                                                   len(self.scene.val_frames))))
+        for idx in indices:
+            frame = self.scene.val_frames[idx]
+            out = self.render_frame(frame.rays)
+            inst_onehot = np.eye(int(out["instances"].argmax(-1).max()) + 1,
+                                 dtype=np.float32)[out["instances"].argmax(-1)]
+            grid = visualize_panoptic_outputs(
+                out["rgb"], out["semantics"], inst_onehot, out["depth"],
+                frame.rgbs, frame.gt_semantics, frame.gt_instances, h, w,
+                thing_classes=self.scene.segmentation.fg_classes,
+                m2f_semantics=frame.semantics, m2f_instances=frame.instances)
+            self.logger.log_image(f"val/{idx:04d}", grid, self.global_step)

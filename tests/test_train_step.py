@@ -29,7 +29,7 @@ def small_cfg():
         max_instances=3, instance_loss_mode="slow_fast", use_DINO_style=True,
         max_rays_instances=128, max_labels_per_image=16,
         batch_size_segments=4, max_rays_segments=64,
-        lambda_dist_reg=0.001, seed=0,
+        lambda_dist_reg=0.001, seed=0, lr=2e-3,
     ).resolve_epochs()
 
 
@@ -63,13 +63,15 @@ def test_rgb_phase_loss_decreases(small_cfg, scene):
     step = make_train_step(cfg, mcfg, rcfg, gates, weights, params)
     nrng = np.random.default_rng(0)
     losses = []
-    for i in range(30):
+    for i in range(40):
         batch = sampler.sample(nrng, cfg.batch_size)
         state, metrics = step(state, state_r, batch, None, None,
                               jax.random.PRNGKey(i), 1.0, 0.0)
         losses.append(float(metrics["loss_rgb"]))
     assert np.isfinite(losses).all()
-    assert np.mean(losses[-5:]) < 0.6 * np.mean(losses[:5]), losses
+    # medians: the random white-bg compositing coin makes per-batch loss bimodal
+    # early in training (faithful to the reference, renderer :164-165)
+    assert np.median(losses[-10:]) < 0.5 * np.median(losses[:10]), losses
 
 
 def test_full_step_with_all_phases(small_cfg, scene):
