@@ -53,6 +53,9 @@ class Config:
     lambda_instances: float = 0.1
     lambda_rgb: float = 1.0
     lambda_dist_reg: float = 0.005
+    # optional depth supervision (no reference equivalent — the reference
+    # loads depth but never supervises with it); 0.0 = reference behavior
+    lambda_depth: float = 0.0
     weight_class_0: float = 0.0
     weight_decay: float = 1e-8
     stop_semantic_grad: bool = True

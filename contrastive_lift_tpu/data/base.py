@@ -71,7 +71,8 @@ class SceneData:
 class RayPoolSampler:
     """Stream 0: uniform i.i.d. batches from the flat train-ray pool."""
 
-    def __init__(self, frames: List[FrameData], num_classes: int, load_feats: bool = False):
+    def __init__(self, frames: List[FrameData], num_classes: int,
+                 load_feats: bool = False, load_depth: bool = False):
         self.rays = np.concatenate([f.rays for f in frames]).astype(np.float32)
         self.rgbs = np.concatenate([f.rgbs for f in frames]).astype(np.float32)
         self.semantics = np.concatenate([f.semantics for f in frames]).astype(np.int32)
@@ -81,6 +82,8 @@ class RayPoolSampler:
         self.mask = np.concatenate([f.mask for f in frames]).astype(bool)
         self.feats = (np.concatenate([f.feats for f in frames]).astype(np.float32)
                       if load_feats and frames[0].feats is not None else None)
+        self.depth = (np.concatenate([f.depth for f in frames]).astype(np.float32)
+                      if load_depth and frames[0].depth is not None else None)
         self.n = self.rays.shape[0]
 
     def sample(self, rng: np.random.Generator, batch_size: int) -> dict:
@@ -96,6 +99,8 @@ class RayPoolSampler:
         }
         if self.feats is not None:
             batch["feats"] = gather_rows(self.feats, idx)
+        if self.depth is not None:
+            batch["depth"] = self.depth[idx]
         return batch
 
 

@@ -95,6 +95,72 @@ def update_bbox_and_shrink(params, mcfg: tf.TensoRFConfig, state_r: RenderState,
     return new_params, new_state, new_grid_dim
 
 
+def dense_sigma(params, mcfg: tf.TensoRFConfig, state_r: RenderState,
+                grid_dim: Tuple[int, int, int], upsample: int = 1):
+    """Dense density volume at (upsampled) grid resolution (reference :736-748)."""
+    gx, gy, gz = (g * upsample for g in grid_dim)
+    lin = [jnp.linspace(0.0, 1.0, g) for g in (gx, gy, gz)]
+    grid = jnp.stack(jnp.meshgrid(*lin, indexing="ij"), -1)
+    xyz = state_r.bbox_aabb[0] * (1 - grid) + state_r.bbox_aabb[1] * grid
+
+    def slice_sigma(xy_slice):
+        norm = (xy_slice.reshape(-1, 3) - state_r.bbox_aabb[0]) \
+            * state_r.inv_box_extent - 1.0
+        return tf.compute_density(params, mcfg, norm).reshape(gy, gz)
+
+    return jax.lax.map(slice_sigma, xyz)
+
+
+def get_instance_clusters(params, mcfg: tf.TensoRFConfig, state_r: RenderState,
+                          grid_dim: Tuple[int, int, int], mode: str = "alpha",
+                          alpha_mask_threshold: float = 0.0075,
+                          max_samples: Optional[int] = None, seed: int = 0):
+    """Dense-grid instance argmax -> labeled surface point cloud for debugging.
+
+    Returns (xyz [N,3], labels [N]). Reference: panopli_tensoRF_renderer.py:
+    636-666; export via utils.points.save_obj_points + utils.colors.
+    """
+    import numpy as np
+    alpha, xyz = dense_alpha(params, mcfg, state_r, grid_dim)
+    xyz_flat = np.asarray(xyz).reshape(-1, 3)
+    alpha_flat = np.clip(np.asarray(alpha).reshape(-1), 0, 1)
+    norm = (jnp.asarray(xyz_flat) - state_r.bbox_aabb[0]) \
+        * state_r.inv_box_extent - 1.0
+    # chunked head evaluation over the dense lattice
+    labels = []
+    for i in range(0, norm.shape[0], 262144):
+        feats = tf.render_instances(params, mcfg, norm[i:i + 262144])
+        half = (mcfg.dim_feature_instance // 2 if mcfg.slow_fast_mode
+                else mcfg.dim_feature_instance)
+        labels.append(np.asarray(jnp.argmax(feats[:, :half], axis=-1)))
+    labels = np.concatenate(labels)
+    if mode == "alpha":
+        keep = alpha_flat >= alpha_mask_threshold
+        default_cap = 2 ** 18
+    else:
+        keep = np.ones_like(alpha_flat, bool)
+        default_cap = 2 ** 16
+    xyz_keep, labels_keep = xyz_flat[keep], labels[keep]
+    cap = max_samples or default_cap
+    if len(xyz_keep) > cap:
+        sel = np.random.default_rng(seed).choice(len(xyz_keep), cap, False)
+        xyz_keep, labels_keep = xyz_keep[sel], labels_keep[sel]
+    return xyz_keep, labels_keep
+
+
+def export_instance_clusters(params, mcfg, state_r, grid_dim, output_dir):
+    """Colored OBJ point clouds of the clustered field (reference :775-782)."""
+    from pathlib import Path
+    from ..utils.colors import DistinctColors
+    from ..utils.points import save_obj_points
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    dc = DistinctColors()
+    for mode in ("alpha", "full"):
+        xyz, labels = get_instance_clusters(params, mcfg, state_r, grid_dim, mode)
+        save_obj_points(out / f"{mode}.obj", xyz, dc.apply(labels))
+
+
 def get_target_resolution(state_r: RenderState, n_voxels: int) -> Tuple[int, int, int]:
     """Resolution with ~n_voxels total, proportional to the AABB extent.
 

@@ -332,7 +332,9 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         rgb_map = rgb_map + (1.0 - opacity[..., None])
     rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
 
-    depth_map = jax.lax.stop_gradient(jnp.sum(weight * z_vals, -1))
+    # differentiable (the reference computes it under no_grad because it never
+    # supervises depth; the optional lambda_depth loss here does)
+    depth_map = jnp.sum(weight * z_vals, -1)
 
     return {
         "rgb": rgb_map, "semantics": semantic_map, "instances": instance_map,

@@ -58,7 +58,8 @@ class Trainer:
         self.state = init_train_state(cfg, params)
         self.main_sampler = RayPoolSampler(
             self.scene.train_frames, self.scene.num_semantic_classes,
-            load_feats=self.mcfg.use_distilled)
+            load_feats=self.mcfg.use_distilled,
+            load_depth=cfg.lambda_depth > 0)
         self.inst_sampler = InstanceBundleSampler(
             self.scene.train_frames, cfg.max_rays_instances,
             cfg.max_labels_per_image)

@@ -79,6 +79,11 @@ def main_phase_loss(params, cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
         loss = cfg.lambda_rgb * (loss_rgb + loss_tv
                                  + out["dist_reg"] * lambda_dist_reg
                                  + loss_feat * cfg.lambda_feat)
+        if cfg.lambda_depth > 0 and "depth" in batch:
+            depth_err = jnp.abs(out["depth"] - batch["depth"]) * mask
+            loss_depth = jnp.sum(depth_err) / jnp.maximum(jnp.sum(mask), 1.0)
+            loss = loss + cfg.lambda_depth * loss_depth
+            metrics["loss_depth"] = loss_depth
         metrics.update(loss_rgb=loss_rgb, loss_feat=loss_feat,
                        loss_dist_reg=out["dist_reg"])
 

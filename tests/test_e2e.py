@@ -27,6 +27,24 @@ def test_train_render_cluster_pq(tmp_path):
         lambda_dist_reg=0.0, image_dim=(32, 40), seed=0,
         save_every_n_train_steps=0, decay_step=[100],
         lr=2e-3,  # tiny scene + ~100 total steps: converge fast
+        # class 0 is a REAL background class here (room shell), so it must
+        # carry CE weight — same as the reference's MOS config
+        # (weight_class_0: 1.0). The default softmax-composite-log CE pathway
+        # needs thousands of steps; for this ~100-step test use the
+        # reference's raw-logit mode (semantic_weight_mode: none) and a
+        # stronger semantic weight.
+        weight_class_0=1.0, lambda_semantics=1.0, semantic_weight_mode="none",
+        probabilistic_ce_mode="NoTTAConf",
+        # xyz-MLP heads (the paper default) have strong spectral bias and need
+        # the reference's ~100k-step budget; this 100-step test uses the
+        # grid-branch semantic head (use_mlp_for_semantics=False — the
+        # reference's 'allgrid'/'instGRIDsemMLP' configs) which learns locally,
+        # and PE on the instance head
+        use_mlp_for_semantics=False, pe_ins=4,
+        # depth supervision pins the geometry in the tiny step budget (at this
+        # model-capacity/pixel ratio pure RGB admits memorization optima that
+        # real-scale training escapes statistically)
+        lambda_depth=0.5,
     ).resolve_epochs()
 
     trainer = Trainer(cfg, scene, tmp_path / "run", log_every=1000)
