@@ -257,6 +257,19 @@ def _head_input(cfg, pe, xyz_or_feat, distilled):
     return jnp.concatenate(indata, -1)
 
 
+def semantic_backbone_feats(params, cfg: TensoRFConfig, xyz) -> jnp.ndarray:
+    """Penultimate (backbone) features of the semantic MLP — the hook for the
+    feature-regularization variant (reference: tensoRF.py:597-626, which uses
+    a 384-d backbone + linear class head; here = all layers but the last)."""
+    feat = xyz if cfg.use_semantic_mlp else _branch_feature(params, "semantic", xyz)
+    pe = cfg.pe_sem if cfg.use_semantic_mlp else 0
+    h = _head_input(cfg, pe, feat, None)
+    layers = params["semantic_mlp"]["layers"]
+    for layer in layers[:-1]:
+        h = jax.nn.relu(h @ layer["w"] + layer["b"])
+    return h
+
+
 def render_semantics(params, cfg: TensoRFConfig, xyz, distilled=None,
                      compute_dtype=jnp.float32, feats=None) -> jnp.ndarray:
     """Semantic head over xyz (use_semantic_mlp) or grid features.

@@ -88,6 +88,27 @@ def make_ray_bundle(directions, cam2world, near: float = 0.01):
     return jnp.concatenate([rays_o, rays_d, near_col[:, None], far[:, None]], axis=-1)
 
 
+def ndc_rays(height: int, width: int, focal_length: float, near: float,
+             rays_o, rays_d):
+    """Shift rays to the near plane and project into NDC space.
+
+    Reference: util/ray.py:57-78 (forward-facing capture support).
+    """
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+    ox_oz = rays_o[..., 0] / rays_o[..., 2]
+    oy_oz = rays_o[..., 1] / rays_o[..., 2]
+    o0 = -1.0 / (width / (2.0 * focal_length)) * ox_oz
+    o1 = -1.0 / (height / (2.0 * focal_length)) * oy_oz
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+    d0 = -1.0 / (width / (2.0 * focal_length)) * (
+        rays_d[..., 0] / rays_d[..., 2] - ox_oz)
+    d1 = -1.0 / (height / (2.0 * focal_length)) * (
+        rays_d[..., 1] / rays_d[..., 2] - oy_oz)
+    d2 = 1.0 - o2
+    return (jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1))
+
+
 # ---------------------------------------------------------------------------
 # Scene normalization: fit the union of camera frustums into the unit sphere.
 # Reference: util/camera.py:10-73.
