@@ -43,8 +43,12 @@ def main():
     num_classes = 21
     mcfg, params, rcfg, state_r = build_model(
         cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
-    rcfg = dataclasses.replace(rcfg, head_topk=64, head_dtype="bfloat16",
-                               coarse_stride=8, max_segments=32)
+    # production fast-path operating point: 24 occupied segments x 8 fine
+    # samples covers 2-3 surfaces per ray with margin; k=48 head samples
+    # covers everything above raymarch_weight_thres (see PERFORMANCE.md for
+    # the knob/throughput curve: segs=16/k=32 reaches ~188k rays/s)
+    rcfg = dataclasses.replace(rcfg, head_topk=48, head_dtype="bfloat16",
+                               coarse_stride=8, max_segments=24)
 
     # Install a realistic occupancy pattern (an untrained field is empty and
     # the empty-space-skipping path would render nothing): three orthogonal
