@@ -101,7 +101,7 @@ def _mlp_init(key, din: int, dim: int, dout: int, n_layers: int, zero_last_bias:
     return {"layers": layers}
 
 
-def mlp_apply(params, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+def _mlp_apply_raw(params, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
     layers = params["layers"]
     h = x.astype(compute_dtype)
     for i, layer in enumerate(layers):
@@ -109,6 +109,15 @@ def mlp_apply(params, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
         if i < len(layers) - 1:
             h = jax.nn.relu(h)
     return h.astype(jnp.float32)
+
+
+# Rematerialized: head MLPs run on millions of samples per step, so storing
+# every inter-layer activation for backward OOMs at the reference training
+# scale (e.g. the segment pass alone is 32k rays x 443 samples -> 3x13.7 GB of
+# [P,256] activations). jax.checkpoint keeps only the MLP inputs and
+# recomputes the layers in the backward pass — FLOPs for HBM, the standard
+# trade (SURVEY §7).
+mlp_apply = jax.checkpoint(_mlp_apply_raw, static_argnums=(2,))
 
 
 def _svd_grid_init(key, comps, grid_dim, scale: float = 0.1):

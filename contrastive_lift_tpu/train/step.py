@@ -101,9 +101,27 @@ def main_phase_loss(params, cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
 
 def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
                        rng, class_weights):
-    """Segment-grouping loss (reference trainer :185-195)."""
-    seg_map = R.render_segment_features(
-        params, mcfg, rcfg, state_r, batch_seg["rays"], rng, is_train=True)
+    """Segment-grouping loss (reference trainer :185-195).
+
+    The segment stream is large (batch_size_segments x max_rays_segments rays,
+    each with n_samples points); rendering it in one shot would hold tens of
+    GB of activations for backward. lax.map over checkpointed ray chunks keeps
+    the backward working set per-chunk — the jit-native analog of the
+    reference's chunk_segment Python loop.
+    """
+    rays = batch_seg["rays"]
+    n = rays.shape[0]
+    chunk = min(cfg.chunk, n)
+    pad = (-n) % chunk
+    rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
+    chunks = rays_p.reshape(-1, chunk, rays.shape[1])
+
+    @jax.checkpoint
+    def render_chunk(r):
+        return R.render_segment_features(params, mcfg, rcfg, state_r, r, rng,
+                                         is_train=True)
+
+    seg_map = jax.lax.map(render_chunk, chunks).reshape(rays_p.shape[0], -1)[:n]
     return L.segment_grouping_loss(
         seg_map, batch_seg["group"], batch_seg["confidences"],
         cfg.batch_size_segments, class_weights, cfg.segment_grouping_mode,
