@@ -123,6 +123,8 @@ class Config:
     max_labels_per_image: int = 128      # static pad for per-image instance labels
     precision: str = "fp32"              # fp32|bf16 for head MLP compute
     use_pallas: bool = True              # fused Pallas VM-sampling kernel on TPU
+    fused_aux_density: bool = True       # fused dense-grid density for the
+                                         # stop-gradient (instance/segment) passes
 
     def __post_init__(self):
         if isinstance(self.image_dim, int):

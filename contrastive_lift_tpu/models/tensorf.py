@@ -117,7 +117,11 @@ def _mlp_apply_raw(params, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.nda
 # [P,256] activations). jax.checkpoint keeps only the MLP inputs and
 # recomputes the layers in the backward pass — FLOPs for HBM, the standard
 # trade (SURVEY §7).
-mlp_apply = jax.checkpoint(_mlp_apply_raw, static_argnums=(2,))
+_mlp_apply_ckpt = jax.checkpoint(_mlp_apply_raw, static_argnums=(2,))
+
+
+def mlp_apply(params, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+    return _mlp_apply_ckpt(params, x, compute_dtype)
 
 
 def _svd_grid_init(key, comps, grid_dim, scale: float = 0.1):

@@ -143,6 +143,14 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                       feature_cells, coarse_occ, coarse_dim, supervoxel)
 
 
+def build_density_only(params: dict) -> FusedGrids:
+    """Density-only fused grids (for the training passes whose density is
+    stop-gradient: instance + segment renders). Cheap enough to rebuild every
+    step (~10-40 ms of einsums + slicing)."""
+    dense = build_dense_density(params)
+    return FusedGrids(_cell_corner_grid(dense), dense.shape, {}, {})
+
+
 def sample_coarse_occ(fused: FusedGrids, xyz: jnp.ndarray) -> jnp.ndarray:
     """Raw-density upper bound at [P,3] coords in [-1,1] (nearest supervoxel)."""
     gx, gy, gz = fused.grid_dim

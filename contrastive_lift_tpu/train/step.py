@@ -116,16 +116,31 @@ def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
     rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
     chunks = rays_p.reshape(-1, chunk, rays.shape[1])
 
+    fused = _aux_density_grids(params, cfg)
+
     @jax.checkpoint
     def render_chunk(r):
         return R.render_segment_features(params, mcfg, rcfg, state_r, r, rng,
-                                         is_train=True)
+                                         is_train=True, fused=fused)
 
     seg_map = jax.lax.map(render_chunk, chunks).reshape(rays_p.shape[0], -1)[:n]
     return L.segment_grouping_loss(
         seg_map, batch_seg["group"], batch_seg["confidences"],
         cfg.batch_size_segments, class_weights, cfg.segment_grouping_mode,
         valid=batch_seg.get("valid"))
+
+
+def _aux_density_grids(params, cfg):
+    """Fused density grids for the stop-gradient passes (instance/segment).
+
+    Their density carries no gradient (reference renders it under no_grad), so
+    the one-gather-per-sample fused path is exact and free of autodiff cost;
+    rebuilding the dense grid each step is a few einsums.
+    """
+    if not getattr(cfg, "fused_aux_density", True):
+        return None
+    from ..ops.fused_grid import build_density_only
+    return jax.lax.stop_gradient(build_density_only(params))
 
 
 def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng):
@@ -135,10 +150,11 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng)
     valid [I,R]. The reference's python loop over images becomes a vmap.
     """
     rngs = jax.random.split(rng, batch_inst["rays"].shape[0])
+    fused = _aux_density_grids(params, cfg)
 
     def one_image(rays, labels, confs, valid, k):
         feats, points_xyz = R.render_instance_features(
-            params, mcfg, rcfg, state_r, rays, k, is_train=True)
+            params, mcfg, rcfg, state_r, rays, k, is_train=True, fused=fused)
         if cfg.instance_loss_mode == "slow_fast":
             half = mcfg.dim_feature_instance // 2
             fast, slow = feats[:, :half], feats[:, half:]
