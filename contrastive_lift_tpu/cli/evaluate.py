@@ -23,21 +23,21 @@ def main(argv=None):
 
     root = Path(args.root_path)
     exp = Path(args.exp_path)
-    if args.things is None:
+    if args.things is not None:
+        things = set(args.things)
+        stuff = set(args.stuff or [])
+    elif (root / "segmentation_data.pkl").exists():
         import pickle
         seg = pickle.load(open(root / "segmentation_data.pkl", "rb"))
         things = set(seg["fg_classes"]) - {0}
         stuff = set(seg["bg_classes"]) - {0}
-    else:
-        things = set(args.things)
-        stuff = set(args.stuff or [])
+    else:  # MOS layout: two classes, fg=1
+        things, stuff = {1}, {0}
 
     image_size = tuple(args.image_size)
-    iou = calculate_iou_folders(exp / "pred_semantics", root / "rs_semantics",
-                                image_size)
-    pq, sq, rq = calculate_panoptic_quality_folders(
-        exp / "pred_semantics", exp / "pred_surrogateid",
-        root / "rs_semantics", root / "rs_instance", things, stuff, image_size)
+    from ..inference.evaluate import evaluate_folders
+    metrics = evaluate_folders(exp, root, things, stuff, image_size)
+    iou, pq, sq, rq = metrics["iou"], metrics["pq"], metrics["sq"], metrics["rq"]
     result = {"iou": iou, "pq_scene": pq, "sq_scene": sq, "rq_scene": rq}
     print(json.dumps(result, indent=2))
     (exp / "metrics.txt").write_text(

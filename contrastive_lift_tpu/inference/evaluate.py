@@ -17,8 +17,17 @@ from ..metrics.panoptic_quality import panoptic_quality
 
 
 def _load_label_png(path, image_size: Tuple[int, int]) -> np.ndarray:
+    """Label map from png (predictions / PanopLi GT) or npy (MOS GT —
+    reference preprocess_scannet.py:708-732 reads detic/GT npy files)."""
     from PIL import Image
-    img = Image.open(path)
+    path = Path(path)
+    if not path.exists() and path.with_suffix(".npy").exists():
+        path = path.with_suffix(".npy")
+    if path.suffix == ".npy":
+        arr = np.load(path)
+        img = Image.fromarray(arr.astype(np.int32), mode="I")
+    else:
+        img = Image.open(path)
     if img.size != (image_size[1], image_size[0]):
         img = img.resize((image_size[1], image_size[0]), Image.NEAREST)
     return np.array(img).astype(np.int64)
@@ -89,12 +98,18 @@ def evaluate_folders(root_pred: Path, root_target: Path, things: Set[int],
                      stuff: Set[int], image_size=(512, 512),
                      faulty_classes=(0,)) -> dict:
     """The evaluate.py CLI core: mIoU + PQ/SQ/RQ^scene (reference:
-    inference/evaluate.py:14-37)."""
+    inference/evaluate.py:14-37). Autodetects the GT layout: PanopLi
+    (rs_semantics/rs_instance pngs) or MOS (semantic/instance npys —
+    reference preprocess_scannet.py:708-732)."""
+    root_target = Path(root_target)
+    if (root_target / "rs_semantics").exists():
+        gt_sem, gt_inst = root_target / "rs_semantics", root_target / "rs_instance"
+    else:  # MOS layout
+        gt_sem, gt_inst = root_target / "semantic", root_target / "instance"
     miou = calculate_iou_folders(
-        Path(root_pred) / "pred_semantics", Path(root_target) / "rs_semantics",
+        Path(root_pred) / "pred_semantics", gt_sem,
         image_size, ignore_class=list(faulty_classes))
     pq, sq, rq = calculate_panoptic_quality_folders(
         Path(root_pred) / "pred_semantics", Path(root_pred) / "pred_surrogateid",
-        Path(root_target) / "rs_semantics", Path(root_target) / "rs_instance",
-        things, stuff, image_size)
+        gt_sem, gt_inst, things, stuff, image_size)
     return {"iou": miou, "pq": pq, "sq": sq, "rq": rq}
