@@ -5,8 +5,7 @@ import argparse
 import json
 from pathlib import Path
 
-from ..inference.evaluate import (calculate_iou_folders,
-                                  calculate_panoptic_quality_folders)
+from ..inference.evaluate import evaluate_folders
 
 
 def main(argv=None):
@@ -35,7 +34,6 @@ def main(argv=None):
         things, stuff = {1}, {0}
 
     image_size = tuple(args.image_size)
-    from ..inference.evaluate import evaluate_folders
     metrics = evaluate_folders(exp, root, things, stuff, image_size)
     iou, pq, sq, rq = metrics["iou"], metrics["pq"], metrics["sq"], metrics["rq"]
     result = {"iou": iou, "pq_scene": pq, "sq_scene": sq, "rq_scene": rq}
