@@ -57,17 +57,19 @@ class ConfusionMatrix:
         count = np.bincount(label, minlength=self.num_classes**2)
         return count.reshape(self.num_classes, self.num_classes)
 
+    def _ignore(self):
+        # ignore_class=[] still triggers the robust-class filter (reference
+        # util/metrics.py:40-42 checks `is not None`, not truthiness).
+        return list(self.ignore_class) if self.ignore_class is not None else None
+
     def add_batch(self, gt, pred, return_miou: bool = False):
         cm = self._generate(gt, pred)
         self.confusion_matrix += cm
         if return_miou:
-            return calculate_miou(cm, list(self.ignore_class) if self.ignore_class else None,
-                                  self.robust)
+            return calculate_miou(cm, self._ignore(), self.robust)
 
     def get_miou(self):
-        return calculate_miou(self.confusion_matrix,
-                              list(self.ignore_class) if self.ignore_class else None,
-                              self.robust)
+        return calculate_miou(self.confusion_matrix, self._ignore(), self.robust)
 
     def reset(self):
         self.confusion_matrix = np.zeros((self.num_classes, self.num_classes))

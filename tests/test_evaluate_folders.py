@@ -47,6 +47,60 @@ def test_evaluate_folders_mos_layout(tmp_path):
     assert m["pq"] == pytest.approx(1.0)
 
 
+def test_mos_background_errors_are_counted(tmp_path):
+    """MOS layout: class 0 is a real class — wrong predictions on background
+    pixels must hurt the metrics (reference evaluates with an all-valid mask,
+    preprocess_scannet.py:708-732). Guards the round-1 inflation bug where
+    pred[target==0]=0 made background predictions always perfect."""
+    root, exp = tmp_path / "scene", tmp_path / "pred"
+    hw = (16, 16)
+    for d in (root / "semantic", root / "instance",
+              exp / "pred_semantics", exp / "pred_surrogateid"):
+        d.mkdir(parents=True)
+    sem = np.zeros(hw, np.int64)
+    sem[:8] = 1  # top half foreground
+    inst = np.where(sem == 1, 1, 0).astype(np.int64)
+    np.save(root / "semantic" / "0000.npy", sem)
+    np.save(root / "instance" / "0000.npy", inst)
+    # prediction: everything foreground — background entirely wrong
+    Image.fromarray(np.ones(hw, np.uint8)).save(
+        exp / "pred_semantics" / "0000.png")
+    Image.fromarray(np.ones(hw, np.uint16)).save(
+        exp / "pred_surrogateid" / "0000.png")
+    m = evaluate_folders(exp, root, things={1}, stuff={0}, image_size=hw)
+    assert m["iou"] < 0.9  # bg IoU 0, fg IoU 0.5 -> miou 0.25
+    assert m["pq"] < 0.9
+
+
+def test_panopli_faulty_pixels_are_dropped(tmp_path):
+    """PanopLi layout: GT class 0 pixels are dropped entirely, so arbitrary
+    predictions there must not change the metrics (reference valid_mask,
+    preprocess_scannet.py:628-634,693-704)."""
+    root, exp = tmp_path / "scene", tmp_path / "pred"
+    hw = (16, 16)
+    for d in (root / "rs_semantics", root / "rs_instance",
+              exp / "pred_semantics", exp / "pred_surrogateid"):
+        d.mkdir(parents=True)
+    sem = np.zeros(hw, np.int64)
+    sem[:8] = 1
+    sem[8:] = 0  # faulty region
+    inst = np.where(sem == 1, 1, 0).astype(np.int64)
+    Image.fromarray(sem.astype(np.uint8)).save(root / "rs_semantics" / "0000.png")
+    Image.fromarray(inst.astype(np.uint8)).save(root / "rs_instance" / "0000.png")
+    # prediction: correct on valid pixels, garbage on faulty pixels
+    pred_sem = sem.copy()
+    pred_sem[8:] = 7
+    pred_inst = inst.copy()
+    pred_inst[8:] = 9
+    Image.fromarray(pred_sem.astype(np.uint8)).save(
+        exp / "pred_semantics" / "0000.png")
+    Image.fromarray(pred_inst.astype(np.uint16)).save(
+        exp / "pred_surrogateid" / "0000.png")
+    m = evaluate_folders(exp, root, things={1}, stuff={0}, image_size=hw)
+    assert m["pq"] == pytest.approx(1.0)
+    assert m["iou"] == pytest.approx(1.0)
+
+
 def test_per_frame_pq_folders(tmp_path):
     root, exp = tmp_path / "scene", tmp_path / "pred"
     _write_pair(root, exp, mos=False)
