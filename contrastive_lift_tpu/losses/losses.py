@@ -165,8 +165,10 @@ def contrastive_loss(features, instance_labels, temperature: float,
                      valid: Optional[jnp.ndarray] = None):
     """Pairwise Euclidean contrastive loss (reference: loss.py:62-82).
 
-    Positive pairs use temperature 1, negatives use ``temperature``; the
-    diagonal is excluded from the positive mask.
+    Positive pairs use ``temperature``, negatives use 1 (reference loss.py:71-74
+    applies ``temperature`` where the same-label mask is set — its inline
+    comment states the opposite but the code is authoritative); the diagonal is
+    excluded from the positive mask.
     """
     n = features.shape[0]
     if valid is None:
@@ -269,29 +271,90 @@ def slow_fast_loss(fast_proj, slow_proj, labels, confidences, num_labels: int,
 # Linear-assignment (Panoptic-Lifting baseline) loss
 # ---------------------------------------------------------------------------
 
-def _hungarian_jax(cost: jnp.ndarray, num_valid_rows) -> jnp.ndarray:
-    """Greedy-refined auction assignment for small square-ish cost matrices.
+def _hungarian_jax(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact rectangular linear-sum assignment in lax (min-cost).
 
-    Returns col index per row. Matrices here are at most
-    [max_instances, max_instances] so an O(n^3) loop in lax is fine.
+    Jonker-Volgenant shortest-augmenting-path with dual potentials — the same
+    algorithm scipy.optimize.linear_sum_assignment uses (the reference calls
+    scipy at trainer/train_panopli_tensorf.py:338). Requires finite costs and
+    n_rows <= n_cols; returns the assigned column per row. Optimal total cost
+    always matches scipy; on exact ties an equally-optimal permutation may
+    differ. Matrices here are at most [max_instances, C] (<=500^2), and the
+    inner Dijkstra exits as soon as a free column is reached, so the sequential
+    depth stays modest.
     """
     n_rows, n_cols = cost.shape
-    big = jnp.asarray(1e9, cost.dtype)
+    if n_rows > n_cols:
+        raise ValueError(f"Hungarian requires n_rows <= n_cols, got {cost.shape}")
+    cost = cost.astype(jnp.float32)
+    inf = jnp.asarray(jnp.inf, cost.dtype)
 
-    def assign_one(carry, _):
-        cost_m, row_taken, col_taken, assignment = carry
-        masked = cost_m + row_taken[:, None] * big + col_taken[None, :] * big
-        flat_idx = jnp.argmin(masked)
-        r, c = flat_idx // n_cols, flat_idx % n_cols
-        assignment = assignment.at[r].set(c)
-        row_taken = row_taken.at[r].set(1.0)
-        col_taken = col_taken.at[c].set(1.0)
-        return (cost_m, row_taken, col_taken, assignment), None
+    def solve_row(carry, cur_row):
+        u, v, row4col, col4row = carry
 
-    init = (cost, jnp.zeros(n_rows), jnp.zeros(n_cols), jnp.zeros(n_rows, jnp.int32))
-    steps = min(n_rows, n_cols)
-    (_, _, _, assignment), _ = jax.lax.scan(assign_one, init, None, length=steps)
-    return assignment
+        # --- Dijkstra over columns from cur_row until a free column (sink).
+        def search_cond(st):
+            return st[5] < 0
+
+        def search_body(st):
+            i, minval, spc, path, scanned_rows, _, scanned_cols = st
+            scanned_rows = scanned_rows.at[i].set(True)
+            remaining = ~scanned_cols
+            cand = minval + cost[i] - u[i] - v
+            upd = remaining & (cand < spc)
+            spc = jnp.where(upd, cand, spc)
+            path = jnp.where(upd, i, path)
+            masked = jnp.where(remaining, spc, inf)
+            lowest = jnp.min(masked)
+            # among minimal remaining columns prefer a free one (scipy's
+            # row4col[j]==-1 tie preference)
+            eligible = remaining & (masked == lowest)
+            free = eligible & (row4col < 0)
+            j = jnp.where(jnp.any(free), jnp.argmax(free), jnp.argmax(eligible))
+            is_free = row4col[j] < 0
+            sink = jnp.where(is_free, j, -1)
+            i_next = jnp.where(is_free, i, row4col[j])
+            scanned_cols = scanned_cols.at[j].set(True)
+            return (i_next, lowest, spc, path, scanned_rows, sink, scanned_cols)
+
+        init = (cur_row, jnp.asarray(0.0, cost.dtype),
+                jnp.full((n_cols,), inf, cost.dtype),
+                jnp.full((n_cols,), 0, jnp.int32),
+                jnp.zeros((n_rows,), bool), jnp.asarray(-1, jnp.int32),
+                jnp.zeros((n_cols,), bool))
+        (_, lowest, spc, path, scanned_rows, sink, scanned_cols) = \
+            jax.lax.while_loop(search_cond, search_body, init)
+
+        # --- dual updates (scipy rectangular_lsap.cpp dual step)
+        rows = jnp.arange(n_rows)
+        u = u + jnp.where(
+            scanned_rows,
+            jnp.where(rows == cur_row, lowest, lowest - spc[col4row]),
+            0.0)
+        v = v - jnp.where(scanned_cols, lowest - spc, 0.0)
+
+        # --- augment along the alternating path ending at sink
+        def aug_cond(st):
+            return ~st[3]
+
+        def aug_body(st):
+            j, row4col, col4row, _ = st
+            i = path[j]
+            row4col = row4col.at[j].set(i)
+            j_next = col4row[i]
+            col4row = col4row.at[i].set(j)
+            return (j_next, row4col, col4row, i == cur_row)
+
+        (_, row4col, col4row, _) = jax.lax.while_loop(
+            aug_cond, aug_body,
+            (sink, row4col, col4row, jnp.asarray(False)))
+        return (u, v, row4col, col4row), None
+
+    init = (jnp.zeros((n_rows,), cost.dtype), jnp.zeros((n_cols,), cost.dtype),
+            jnp.full((n_cols,), -1, jnp.int32), jnp.full((n_rows,), -1, jnp.int32))
+    (_, _, _, col4row), _ = jax.lax.scan(
+        solve_row, init, jnp.arange(n_rows, dtype=jnp.int32))
+    return col4row
 
 
 def linear_assignment_loss(instance_logits, labels, confidences, num_labels: int,
@@ -301,8 +364,8 @@ def linear_assignment_loss(instance_logits, labels, confidences, num_labels: int
     Matches labels (compacted to [0, num_labels)) to prediction channels by
     mean softmax mass, builds virtual GT, then conf-weighted CE — skipped when
     predictions already agree. Reference: train_panopli_tensorf.py:237-242,331-342.
-    Uses a greedy assignment (exact Hungarian differs only on ties for these
-    tiny, well-separated cost matrices; scipy parity is covered in tests).
+    The assignment is an exact Hungarian (JV) solve, matching scipy's
+    linear_sum_assignment up to equal-cost tie permutations.
     """
     n, c = instance_logits.shape
     if valid is None:
@@ -313,7 +376,7 @@ def linear_assignment_loss(instance_logits, labels, confidences, num_labels: int
     counts = jax.ops.segment_sum(vf, labels, num_labels)
     cost = -(sums / (counts[:, None] + 1e-4))  # [num_labels, C]
     cost = jnp.where((counts > 0)[:, None], cost, 1e6)  # park empty labels last
-    assignment = _hungarian_jax(cost, counts > 0)        # [num_labels]
+    assignment = _hungarian_jax(cost)                    # [num_labels]
     virtual_gt = assignment[labels]
 
     predicted = jnp.argmax(instance_logits, axis=-1)

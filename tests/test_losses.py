@@ -204,6 +204,44 @@ def test_linear_assignment_matches_scipy():
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape,seed,ties", [
+    ((8, 8), 0, False),
+    ((20, 32), 1, False),
+    ((50, 50), 2, True),     # tie-heavy: quantized costs, many equal entries
+    ((500, 500), 3, False),  # MOS linear_assignment scale (max_instances=500)
+    ((128, 500), 4, True),
+])
+def test_hungarian_exact_vs_scipy(shape, seed, ties):
+    """_hungarian_jax must achieve scipy's optimal cost on arbitrary matrices
+    (greedy assignment is provably suboptimal on some of these), including
+    tie-heavy and 500-label cases (MOS baseline, panopli_MOS.yaml:14)."""
+    import scipy.optimize
+    rng = np.random.default_rng(seed)
+    cost = rng.normal(size=shape).astype(np.float32)
+    if ties:
+        cost = np.round(cost * 2) / 2  # heavy quantization -> many exact ties
+    rows, cols = scipy.optimize.linear_sum_assignment(cost)
+    ref_total = cost[rows, cols].sum()
+    ours = np.asarray(L._hungarian_jax(jnp.asarray(cost)))
+    assert len(np.unique(ours)) == shape[0], "assignment must be injective"
+    ours_total = cost[np.arange(shape[0]), ours].sum()
+    np.testing.assert_allclose(ours_total, ref_total, rtol=1e-5, atol=1e-4)
+
+
+def test_hungarian_beats_greedy_case():
+    """A classic matrix where greedy global-min assignment is suboptimal."""
+    import scipy.optimize
+    cost = np.array([[1.0, 3.0],
+                     [2.0, 100.0]], np.float32)
+    # greedy picks (0,0)=1 then (1,1)=100 -> 101; optimal is 3+2=5
+    rows, cols = scipy.optimize.linear_sum_assignment(cost)
+    ref_total = cost[rows, cols].sum()
+    assert ref_total == pytest.approx(5.0)
+    ours = np.asarray(L._hungarian_jax(jnp.asarray(cost)))
+    ours_total = cost[np.arange(2), ours].sum()
+    np.testing.assert_allclose(ours_total, ref_total, rtol=1e-6)
+
+
 def test_sce_loss_matches_reference_formula():
     rng = np.random.default_rng(8)
     logits = rng.normal(size=(20, 6)).astype(np.float32)
