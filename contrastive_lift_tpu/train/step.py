@@ -143,23 +143,61 @@ def _aux_density_grids(params, cfg):
     return jax.lax.stop_gradient(build_density_only(params))
 
 
+def _interp_slow(params: dict, coeff, use_proj: bool) -> dict:
+    """Params with slow <- stop_grad(coeff*slow + (1-coeff)*fast).
+
+    EMA with constant momentum m applied k times to a fixed fast net is a
+    single interpolation with coeff m^k, so the reference's per-image
+    ema_update_slownet loop (train_panopli_tensorf.py:213-218,258-259)
+    becomes one closed-form mix per image. stop_gradient mirrors the
+    reference's torch.no_grad EMA (:325-329).
+    """
+    def mix(slow_tree, fast_tree):
+        return jax.tree.map(
+            lambda s, f: jax.lax.stop_gradient(coeff * s + (1.0 - coeff) * f),
+            slow_tree, fast_tree)
+
+    out = dict(params)
+    imlp = dict(params["instance_mlp"])
+    imlp["slow"] = mix(imlp["slow"], imlp["fast"])
+    out["instance_mlp"] = imlp
+    if use_proj and "proj" in params:
+        proj = dict(params["proj"])
+        proj["slow"] = mix(proj["slow"], proj["fast"])
+        out["proj"] = proj
+    return out
+
+
 def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng):
     """Phase-2 loss over the per-image contrastive bundles (reference :210-221).
 
     batch_inst: rays [I,R,8], labels [I,R] (compact ids), confidences [I,R],
     valid [I,R]. The reference's python loop over images becomes a vmap.
+
+    slow_fast EMA dynamics are reference-exact for any batch_size_contrastive:
+    the reference renders image k with the slow net as of k EMA updates this
+    step (forward happens before calculate_instance_clustering_loss's EMA,
+    trainer :213-218,258-259), so image k here uses the closed-form
+    interpolation with coeff 0.9^k. The step function commits slow_I
+    (= coeff 0.9^I) after gradients are taken.
     """
-    rngs = jax.random.split(rng, batch_inst["rays"].shape[0])
+    num_images = batch_inst["rays"].shape[0]
+    rngs = jax.random.split(rng, num_images)
+    coeffs = jnp.power(0.9, jnp.arange(num_images, dtype=jnp.float32))
     fused = _aux_density_grids(params, cfg)
 
-    def one_image(rays, labels, confs, valid, k):
+    def one_image(rays, labels, confs, valid, k, coeff):
+        if cfg.instance_loss_mode == "slow_fast":
+            p_img = _interp_slow(params, coeff, mcfg.use_proj)
+        else:
+            p_img = params
         feats, points_xyz = R.render_instance_features(
-            params, mcfg, rcfg, state_r, rays, k, is_train=True, fused=fused)
+            p_img, mcfg, rcfg, state_r, rays, k, is_train=True, fused=fused)
         if cfg.instance_loss_mode == "slow_fast":
             half = mcfg.dim_feature_instance // 2
             fast, slow = feats[:, :half], feats[:, half:]
             if mcfg.use_proj:
-                fast, slow = tf.apply_proj(params, fast, slow)
+                fast, slow = tf.apply_proj(p_img, fast, slow)
             slow = jax.lax.stop_gradient(slow)
             return L.slow_fast_loss(fast, slow, labels, confs,
                                     cfg.max_labels_per_image, valid=valid)
@@ -177,7 +215,8 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng)
         raise NotImplementedError(cfg.instance_loss_mode)
 
     losses = jax.vmap(one_image)(batch_inst["rays"], batch_inst["labels"],
-                                 batch_inst["confidences"], batch_inst["valid"], rngs)
+                                 batch_inst["confidences"], batch_inst["valid"],
+                                 rngs, coeffs)
     return jnp.sum(losses)
 
 
@@ -218,14 +257,18 @@ def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
 
         opt_inst = state.opt_state_inst
         if gates.instances_on and batch_inst is not None:
-            if cfg.instance_loss_mode == "slow_fast":
-                params_ = ema_update_slow(params_, 0.9, mcfg.use_proj)
-
             def inst_loss_fn(p):
                 return instance_phase_loss(p, cfg, mcfg, rcfg, state_r,
                                            batch_inst, rng_inst)
 
             loss_inst, grads_i = jax.value_and_grad(inst_loss_fn)(params_)
+            if cfg.instance_loss_mode == "slow_fast":
+                # commit slow_I: one EMA per image this step (reference runs
+                # ema_update_slownet inside the per-image loop, :213-218);
+                # m applied I times to a fixed fast net == coeff m^I.
+                num_images = batch_inst["rays"].shape[0]
+                params_ = ema_update_slow(params_, 0.9 ** num_images,
+                                          mcfg.use_proj)
             updates_i, opt_inst = inst_tx.update(grads_i, opt_inst, params_)
             params_ = jax.tree.map(lambda p_, u: p_ + u * lr_scale, params_, updates_i)
             metrics["loss_clustering"] = loss_inst

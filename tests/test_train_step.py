@@ -124,6 +124,32 @@ def test_ema_update_math():
                                0.1 * np.ones((2, 2)), rtol=1e-6)
 
 
+def test_per_image_ema_dynamics(small_cfg, scene):
+    """With batch_size_contrastive=I the slow net must receive I EMA updates
+    per step (reference runs ema_update_slownet once per image inside the
+    per-image loop, train_panopli_tensorf.py:213-218,258-259). Since fast is
+    constant during the loop, slow_after == 0.9^I slow_0 + (1-0.9^I) fast_0."""
+    cfg = small_cfg
+    mcfg, params, rcfg, state_r, weights = _setup(cfg, scene)
+    state = init_train_state(cfg, params)
+    main_s = RayPoolSampler(scene.train_frames, scene.num_semantic_classes)
+    inst_s = InstanceBundleSampler(scene.train_frames, cfg.max_rays_instances,
+                                   cfg.max_labels_per_image)
+    gates = TrainGates(semantics_on=True, instances_on=True)
+    step = make_train_step(cfg, mcfg, rcfg, gates, weights, params)
+    nrng = np.random.default_rng(5)
+    num_images = 3
+    slow0 = np.array(state.params["instance_mlp"]["slow"]["layers"][0]["w"])
+    fast0 = np.array(state.params["instance_mlp"]["fast"]["layers"][0]["w"])
+    state, _ = step(state, state_r, main_s.sample(nrng, cfg.batch_size),
+                    inst_s.sample(nrng, num_images), None,
+                    jax.random.PRNGKey(0), 1.0, 0.0)
+    slow_after = np.array(state.params["instance_mlp"]["slow"]["layers"][0]["w"])
+    m = 0.9 ** num_images
+    np.testing.assert_allclose(slow_after, m * slow0 + (1 - m) * fast0,
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_linear_assignment_mode_runs(scene):
     cfg = Config(batch_size=128, min_grid_dim=24, max_instances=8,
                  instance_loss_mode="linear_assignment",
