@@ -31,6 +31,9 @@ def main(argv=None):
                         help="render resolution (reference hardcodes 256x384)")
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--chunk", type=int, default=8192)
+    parser.add_argument("--n_data_shards", type=int, default=None,
+                        help="devices for sharded rendering (0=all; default: "
+                        "the run config's n_data_shards)")
     args = parser.parse_args(argv)
 
     ckpt = Path(args.ckpt_path)
@@ -45,6 +48,13 @@ def main(argv=None):
     params, mcfg, rcfg, state_r, meta = load_model_for_inference(
         ckpt, cfg, scene.num_semantic_classes, white_bg=scene.white_bg)
 
+    n_shards = (args.n_data_shards if args.n_data_shards is not None
+                else cfg.n_data_shards)
+    mesh = None
+    if n_shards != 1:
+        from ..parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(n_shards or None, cfg.data_axis)
+
     suffix = ("_dbscan" if args.use_dbscan else "") + ("_seg" if args.segmentwise else "")
     output_dir = (Path(args.output_dir) if args.output_dir else
                   Path("runs") / f"{Path(cfg.dataset_root).stem}_test_{cfg.experiment}{suffix}")
@@ -54,7 +64,8 @@ def main(argv=None):
         bandwidth=args.bandwidth, use_dbscan=args.use_dbscan,
         segmentwise=args.segmentwise, use_silverman=args.use_silverman,
         cluster_size=args.cluster_size,
-        cached_centroids_path=args.cached_centroids_path, chunk=args.chunk)
+        cached_centroids_path=args.cached_centroids_path, chunk=args.chunk,
+        mesh=mesh)
     print(json.dumps(summary, indent=2))
 
 

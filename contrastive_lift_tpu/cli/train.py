@@ -47,14 +47,7 @@ def main(argv=None):
     scene = load_scene(cfg)
     trainer = Trainer(cfg, scene, run_dir)
     if cfg.resume:
-        from ..io.checkpoint import load_checkpoint
-        import jax.numpy as jnp
-        import jax
-        params, meta = load_checkpoint(cfg.resume)
-        trainer.state = trainer.state._replace(
-            params=jax.tree.map(jnp.asarray, params))
-        trainer.global_step = meta["global_step"]
-        print(f"resumed from {cfg.resume} at step {meta['global_step']}")
+        trainer.restore(cfg.resume)
     trainer.fit()
     print(f"done; artifacts in {run_dir}")
 

@@ -19,12 +19,11 @@ class Config:
     # experiment / bookkeeping
     experiment: str = "fast_dev"
     seed: Optional[int] = 42
-    save_epoch: int = 1
     save_every_n_train_steps: int = 500
-    sanity_steps: int = -1
+    sanity_steps: int = -1       # val frames rendered before training (-1: all)
     max_epoch: int = 10
-    val_check_percent: float = 1.0
-    val_check_interval: float = 1.0
+    val_check_percent: float = 1.0   # fraction of val frames per validation
+    val_check_interval: float = 1.0  # >1: validate every N epochs; <1: N times/epoch
     resume: Optional[str] = None
     subsample_frames: int = 1
 
@@ -74,8 +73,8 @@ class Config:
     batch_size_segments: int = 32
     max_instances: int = 25
     chunk: int = 2048
-    chunk_segment: int = 16384
-    num_workers: int = 8
+    chunk_segment: int = 16384   # rays per checkpointed segment-pass chunk
+    num_workers: int = 8         # host threads for the native ray-pool builder
     logger: str = "none"        # none|tensorboard|wandb
     overfit: bool = False
 
@@ -106,8 +105,6 @@ class Config:
 
     # rendering
     perturb: float = 1.0
-    noise_std: float = 1.0
-    decay_noise: int = 20000
     max_depth: float = 5.0
     reweight_fg: bool = False
 
@@ -119,10 +116,9 @@ class Config:
 
     # TPU-specific additions (no reference equivalent)
     data_axis: str = "data"              # mesh axis name for ray sharding
-    n_data_shards: int = 1               # devices on the data axis
+    n_data_shards: int = 1               # devices on the data axis (0 = all)
     max_labels_per_image: int = 128      # static pad for per-image instance labels
     precision: str = "fp32"              # fp32|bf16 for head MLP compute
-    use_pallas: bool = True              # fused Pallas VM-sampling kernel on TPU
     fused_aux_density: bool = True       # fused dense-grid density for the
                                          # stop-gradient (instance/segment) passes
 
@@ -174,6 +170,16 @@ def load_config(path=None, overrides: Optional[dict] = None) -> Config:
             data = yaml.safe_load(text) or {}
     if overrides:
         data.update(overrides)
+    # knobs present in the reference template that the reference itself never
+    # reads (noise_std/decay_noise defined at panopli_paper.yaml:76-77, dead;
+    # save_epoch commented out at trainer/__init__.py:91): accept ported yamls
+    # but warn instead of silently carrying no-op fields.
+    for dead in ("noise_std", "decay_noise", "save_epoch"):
+        if dead in data:
+            import warnings
+            warnings.warn(f"config key {dead!r} is unused (dead in the "
+                          "reference too); ignoring", stacklevel=2)
+            data.pop(dead)
     known = {f.name: f for f in dataclasses.fields(Config)}
     unknown = set(data) - set(known)
     if unknown:

@@ -15,6 +15,8 @@ def load_scene(cfg, split_dims=None, load_train: bool = True,
     reference's get_dataset(use_gt_inssem=True).
     """
     image_dim = split_dims or cfg.image_dim
+    from . import native
+    native.set_num_threads(getattr(cfg, "num_workers", 0))
     if cfg.dataset_class == "panopli":
         from .panopli import PanopLiSceneReader
         sem_dir, inst_dir, key = (("rs_semantics", "rs_instance",

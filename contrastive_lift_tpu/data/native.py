@@ -17,6 +17,19 @@ _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libraypool.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_pending_threads: Optional[int] = None
+
+
+def set_num_threads(n: int) -> None:
+    """Cap the OpenMP worker threads used by the native ray pool — the
+    TPU-native analog of the reference DataLoader ``num_workers``
+    (reference: train_panopli_tensorf.py:434). <=0 keeps the OpenMP default."""
+    global _pending_threads
+    if n <= 0:
+        return
+    _pending_threads = int(n)
+    if _lib is not None:
+        _lib.set_num_threads(int(n))
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -43,7 +56,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int, u8p]
         lib.sample_indices.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_uint64, i64p]
+        lib.set_num_threads.argtypes = [ctypes.c_int]
         _lib = lib
+        if _pending_threads is not None:
+            lib.set_num_threads(_pending_threads)
     except Exception as exc:  # no compiler / unsupported platform
         print(f"[native] raypool unavailable ({exc}); using numpy fallback")
         _lib = None

@@ -82,10 +82,24 @@ def _unflatten_from_paths(flat: dict) -> dict:
 
 def save_checkpoint(path, params, *, grid_dim, bbox_aabb, epoch: int,
                     global_step: int, config_dict: Optional[dict] = None,
-                    extra: Optional[dict] = None) -> None:
+                    extra: Optional[dict] = None,
+                    opt_state: Any = None) -> None:
+    """Params + geometry metadata, optionally with optimizer state.
+
+    The optimizer state (both optax chains) is stored as ordered leaves; the
+    loader re-pairs them with a freshly init'ed state of the same treedef —
+    the reference equivalent is Lightning storing optimizer state_dicts
+    (SURVEY §5.4, trainer/__init__.py:87-92).
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = _flatten_with_paths(params)
+    n_opt = 0
+    if opt_state is not None:
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        for i, leaf in enumerate(leaves):
+            flat[f"__opt__{i:05d}"] = np.asarray(leaf)
+        n_opt = len(leaves)
     meta = {
         "grid_dim": [int(g) for g in grid_dim],
         "bbox_aabb": np.asarray(bbox_aabb).tolist(),
@@ -93,15 +107,41 @@ def save_checkpoint(path, params, *, grid_dim, bbox_aabb, epoch: int,
         "global_step": int(global_step),
         "config": config_dict or {},
         "extra": extra or {},
-        "format_version": 1,
+        "n_opt_leaves": n_opt,
+        "format_version": 2,
     }
     np.savez_compressed(path, __meta__=json.dumps(meta), **flat)
 
 
 def load_checkpoint(path) -> Tuple[dict, dict]:
-    """Returns (params, metadata). Params arrive at the stored grid shapes."""
+    """Returns (params, metadata). Params arrive at the stored grid shapes.
+    Optimizer leaves (if stored) are under metadata['opt_leaves']."""
     with np.load(Path(path), allow_pickle=False) as data:
         meta = json.loads(str(data["__meta__"]))
-        flat = {k: data[k] for k in data.files if k != "__meta__"}
+        flat = {k: data[k] for k in data.files
+                if k != "__meta__" and not k.startswith("__opt__")}
+        opt_keys = sorted(k for k in data.files if k.startswith("__opt__"))
+        if opt_keys:
+            meta["opt_leaves"] = [data[k] for k in opt_keys]
     params = _unflatten_from_paths(flat)
     return params, meta
+
+
+def restore_opt_state(template_opt_state, opt_leaves):
+    """Re-pair stored leaves with a freshly initialized optimizer state's
+    treedef. Shapes must match — callers rebuild the model at the checkpoint's
+    grid_dim first (reference replays grid growth before restore,
+    train_panopli_tensorf.py:461-470)."""
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    template_leaves = jax.tree_util.tree_leaves(template_opt_state)
+    if len(template_leaves) != len(opt_leaves):
+        raise ValueError(
+            f"optimizer state leaf count mismatch: checkpoint has "
+            f"{len(opt_leaves)}, fresh init has {len(template_leaves)} "
+            "(config/optimizer setup changed since the checkpoint was saved)")
+    for t, s in zip(template_leaves, opt_leaves):
+        if getattr(t, "shape", None) != s.shape:
+            raise ValueError(
+                f"optimizer leaf shape mismatch: {s.shape} vs {t.shape} — "
+                "rebuild the model at the checkpoint grid_dim before restoring")
+    return jax.tree_util.tree_unflatten(treedef, list(opt_leaves))

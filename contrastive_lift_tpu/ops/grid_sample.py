@@ -4,8 +4,10 @@ The reference samples its 2D plane / 1D line factor grids with
 ``F.grid_sample(..., align_corners=True)`` (reference:
 model/radiance_field/tensoRF.py:114-134). On TPU we express the bilinear
 lookup as gather + lerp, which XLA fuses with the plane*line product and
-channel reduction; a Pallas kernel (ops/pallas_vm.py) covers the fully fused
-density path.
+channel reduction. The measured fast path for trained fields is the densified
+voxel-grid route in ops/fused_grid.py (one row-gather per sample) — see
+PERFORMANCE.md for why a hand-written Pallas kernel does not beat these XLA
+gathers in this toolchain (Mosaic dynamic_gather is sublane-only).
 
 Conventions (all matching torch ``grid_sample`` with ``align_corners=True``
 and ``padding_mode='zeros'``):

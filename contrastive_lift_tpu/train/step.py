@@ -111,7 +111,7 @@ def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
     """
     rays = batch_seg["rays"]
     n = rays.shape[0]
-    chunk = min(cfg.chunk, n)
+    chunk = min(cfg.chunk_segment, n)
     pad = (-n) % chunk
     rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
     chunks = rays_p.reshape(-1, chunk, rays.shape[1])

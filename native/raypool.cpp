@@ -89,6 +89,16 @@ void gather_rows_u8(const uint8_t* src, const int64_t* idx, int64_t n,
   }
 }
 
+// Host worker-thread cap — the TPU-native analog of the reference's
+// DataLoader num_workers knob (reference: train_panopli_tensorf.py:434).
+void set_num_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+#else
+  (void)n;
+#endif
+}
+
 // splitmix64 uniform indices in [0, n_pool) — deterministic batch sampling.
 void sample_indices(int64_t n_pool, int64_t batch, uint64_t seed,
                     int64_t* out) {

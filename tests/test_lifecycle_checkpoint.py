@@ -69,6 +69,70 @@ def test_update_bbox_and_shrink_finds_occupied_region():
     assert tf.grid_dim_of(new_params) == tuple(new_grid)
 
 
+def _resume_cfg(**over):
+    base = dict(
+        batch_size=256, chunk=256, min_grid_dim=14, max_grid_dim=20,
+        max_instances=3, instance_loss_mode="slow_fast", use_DINO_style=True,
+        max_rays_instances=64, max_labels_per_image=8,
+        batch_size_segments=4, max_rays_segments=32, seed=0, lr=2e-3,
+        late_semantic_optimization=0, instance_optimization_epoch=1,
+        segment_optimization_epoch=99, grid_upscale_epochs=[1],
+        bbox_aabb_reset_epochs=[], sanity_steps=0,
+        save_every_n_train_steps=0, lambda_dist_reg=0.0,
+        semantic_weight_mode="none", probabilistic_ce_mode="NoTTAConf",
+        weight_class_0=1.0, use_mlp_for_semantics=False)
+    base.update(over)
+    from contrastive_lift_tpu.config import Config
+    return Config(**base).resolve_epochs()
+
+
+def test_resume_across_upscale_boundary(tmp_path):
+    """Train across the grid-upscale epoch, checkpoint, resume in a FRESH
+    Trainer: model must rebuild at the checkpoint grid_dim, optimizer state
+    and epoch must restore, upscale must not replay, and the loss must
+    continue without a spike (reference: on_load_checkpoint replays growth +
+    Lightning restores optimizers, train_panopli_tensorf.py:461-470)."""
+    from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+    from contrastive_lift_tpu.train.loop import Trainer
+
+    scene = make_synthetic_scene(num_spheres=3, num_train=6, num_val=1,
+                                 image_dim=(16, 16), seed=0)
+    cfg = _resume_cfg()
+    t1 = Trainer(cfg, scene, tmp_path / "run1", log_every=1000)
+    t1.fit(max_epoch=2)  # epoch 1 upsamples 14^3 -> 20^3
+    assert t1.grid_dim != (14, 14, 14), "upscale must have run"
+    grid_after = t1.grid_dim
+    step_after = t1.global_step
+    ckpt = tmp_path / "run1" / "checkpoints" / "last.npz"
+    assert ckpt.exists()
+    # reference loss level at the end of run1
+    rng = np.random.default_rng(123)
+    probe = t1.main_sampler.sample(rng, cfg.batch_size)
+    t1.state, m_end = t1._step_fn(t1.state, t1.state_r, probe, None, None,
+                                  jax.random.PRNGKey(9), 1.0, 0.0)
+
+    t2 = Trainer(_resume_cfg(), scene, tmp_path / "run2", log_every=1000)
+    t2.restore(ckpt)
+    assert t2.grid_dim == grid_after
+    assert t2.start_epoch == 2
+    assert t2.global_step == step_after
+    # optimizer state restored (Adam moments nonzero, not a cold restart)
+    leaves = jax.tree_util.tree_leaves(t2.state.opt_state_main)
+    assert any(np.any(np.asarray(l) != 0) for l in leaves
+               if hasattr(l, "shape") and getattr(l, "size", 0) > 1)
+    # resuming must not replay the upscale nor error on shapes; loss continues
+    # at the trained level (no cold-model spike)
+    t2.on_epoch_start(2)
+    assert t2.grid_dim == grid_after
+    t2.state, m2 = t2._step_fn(t2.state, t2.state_r, probe, None, None,
+                               jax.random.PRNGKey(9), 1.0, 0.0)
+    np.testing.assert_allclose(float(m2["loss_rgb"]), float(m_end["loss_rgb"]),
+                               rtol=0.2, atol=5e-3)
+    # and training continues fine for another epoch
+    t2.fit(max_epoch=3)
+    assert t2.global_step > step_after
+
+
 def test_checkpoint_roundtrip_with_shape_morph(tmp_path):
     cfg, mcfg, params, rcfg, state_r = _mini(12)
     params = tf.upsample_volume_grid(params, (17, 15, 13))

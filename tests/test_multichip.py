@@ -38,6 +38,54 @@ def test_entry_compiles():
     assert out["instances"].shape == (2048, 6)  # 2*max_instances slow-fast
 
 
+def _make_trainer(tmp_path, n_shards, tag):
+    from contrastive_lift_tpu.config import Config
+    from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+    from contrastive_lift_tpu.train.loop import Trainer
+
+    scene = make_synthetic_scene(num_spheres=3, num_train=8, num_val=1,
+                                 image_dim=(16, 16), seed=0)
+    cfg = Config(
+        batch_size=256, chunk=256, min_grid_dim=16, max_grid_dim=16,
+        max_instances=3, instance_loss_mode="slow_fast", use_DINO_style=True,
+        batch_size_contrastive=8, max_rays_instances=64, max_labels_per_image=8,
+        batch_size_segments=8, max_rays_segments=32, seed=0,
+        n_data_shards=n_shards, late_semantic_optimization=0,
+        instance_optimization_epoch=0, segment_optimization_epoch=0,
+        bbox_aabb_reset_epochs=[], grid_upscale_epochs=[],
+        sanity_steps=0, save_every_n_train_steps=0, lambda_dist_reg=0.0,
+    ).resolve_epochs()
+    return Trainer(cfg, scene, tmp_path / tag, log_every=1), scene
+
+
+def test_trainer_mesh_losses_match_single_device(tmp_path, capsys):
+    """The production Trainer on the 8-device mesh must produce step-for-step
+    the same losses as single-device (same seed, same host sampling) — the
+    DDP-equivalence check at the Trainer level (VERDICT r1 next #2)."""
+    t1, _ = _make_trainer(tmp_path, 1, "single")
+    t8, _ = _make_trainer(tmp_path, 8, "mesh")
+    assert t1.mesh is None and t8.mesh is not None and t8.mesh.size == 8
+
+    t1.on_epoch_start(0)
+    t8.on_epoch_start(0)
+    import jax as _jax
+    for i in range(3):
+        # identical host-side sampling: same rng state in both trainers
+        b_main = t1.main_sampler.sample(t1.rng, t1.cfg.batch_size)
+        b_inst = t1.inst_sampler.sample(t1.rng, t1.cfg.batch_size_contrastive)
+        b_seg = t1.seg_sampler.sample(t1.rng, t1.cfg.batch_size_segments)
+        key = _jax.random.PRNGKey(i)
+        t1.state, m1 = t1._step_fn(t1.state, t1.state_r, b_main, b_inst,
+                                   b_seg, key, 1.0, 0.0)
+        t8.state, m8 = t8._step_fn(
+            t8.state, t8.state_r, t8._shard_batch(b_main),
+            t8._shard_batch(b_inst), t8._shard_batch(b_seg), key, 1.0, 0.0)
+        for k in m1:
+            np.testing.assert_allclose(
+                float(m1[k]), float(m8[k]), rtol=2e-3, atol=1e-5,
+                err_msg=f"step {i} metric {k} diverged between 1- and 8-device")
+
+
 def test_sharded_render_matches_single_device():
     """Data-parallel render == single-device render (the DDP-equivalence test)."""
     from contrastive_lift_tpu.config import Config
