@@ -4,22 +4,37 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: inference rays/sec on one chip through the FULL render pass (density +
 transmittance + rgb/semantic/instance heads + compositing) at the reference's
-inference operating point — 192^3 grid, step_ratio 0.25 (2x samples, reference:
-inference/render_panopli.py:104), chunked ray batches. Uses the production
-inference path: fused dense-grid density (one gather per sample), top-k head
-compaction, bf16 head matmuls.
+inference operating point — 192^3 grid, step_ratio 0.25 -> 1324 samples/ray
+(reference: inference/render_panopli.py:104), 21 classes, slow-fast instance
+head. Uses the production inference fast path (ops/fused_grid.py):
+brick-atlas density (one 128-lane gather + fused hat-product interpolation
+per sample), two-level empty-space skipping (stride-16 coarse tests, 16 fine
+segments), occupancy-compacted bf16 corner-feature rows, weight-sorted
+top-k head compaction (k=32 appearance, k=16 semantics/instances).
+
+Fidelity at this operating point vs dense fp32 rendering of the same field
+(4096-ray probe, PERFORMANCE.md): rgb p99 err 1.1e-3, depth p99 2.8e-4,
+semantic argmax mismatch 0.00%, opacity max err 0.05.
+
+Scene: an indoor-like analytic field on the 192^3 grid — two nested sphere
+shells (r=0.35, 0.65, 1.5 voxels thick) plus a floor disk; cameras inside the
+inner shell, so every ray crosses 2-3 textured surfaces; ~27% of supervoxel
+bricks are occupied after conservative dilation. (Trained indoor fields show
+the same structure: a few surface crossings per ray; see tests/test_two_level.py
+for the error bound on trained fields.)
 
 vs_baseline: ratio against the reference's A100 PyTorch render path. The repo
 publishes no absolute number (BASELINE.md), so we use a nominal 1.0e5 rays/sec
 for torch TensoRF-with-4-heads rendering on A100 — consistent with the
-reference's chunk=2048 render loop timing on these scenes. The north-star is
-vs_baseline >= 10.
+reference's chunk=2048 render loop timing on these scenes (see
+PERFORMANCE.md "Baseline" for the roofline cross-check). North star >= 10.
 
 Timing note: the result of the last chunk is fetched to host each iteration —
 on remote-TPU platforms block_until_ready alone does not synchronize.
 """
 import dataclasses
 import json
+import sys
 import time
 
 import numpy as np
@@ -27,12 +42,82 @@ import numpy as np
 A100_BASELINE_RAYS_PER_SEC = 1.0e5
 
 
-def main():
+def bench_train():
+    """Training-step throughput at the reference operating point (VERDICT r1
+    #8): 128^3 grid, 2048 main rays + 1024-ray instance bundle + 32x1024-ray
+    segment stream, ~443 samples/ray, bf16 head compute. Reports steps/s per
+    epoch-gate combination (the reference enables instance optimization at
+    epoch 3+l and segments at 6+l — trainer/train_panopli_tensorf.py:148-228).
+    Prints one JSON line per phase."""
     import jax
 
     from contrastive_lift_tpu.config import Config
+    from contrastive_lift_tpu.data.base import (InstanceBundleSampler,
+                                                RayPoolSampler,
+                                                SegmentBundleSampler)
+    from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+    from contrastive_lift_tpu.factory import build_model, class_weights_for
+    from contrastive_lift_tpu.train.state import init_train_state
+    from contrastive_lift_tpu.train.step import TrainGates, make_train_step
+
+    grid = 128
+    cfg = Config(batch_size=2048, min_grid_dim=grid, max_grid_dim=grid,
+                 max_instances=3, instance_loss_mode="slow_fast",
+                 use_DINO_style=True, batch_size_contrastive=1,
+                 max_rays_instances=1024, batch_size_segments=32,
+                 max_rays_segments=1024, precision="bf16",
+                 seed=0).resolve_epochs()
+    scene = make_synthetic_scene(num_spheres=3, num_train=4, num_val=1,
+                                 image_dim=(64, 64), seed=0)
+    mcfg, params, rcfg, state_r = build_model(
+        cfg, scene.num_semantic_classes, scene.scene_bounds, (grid,) * 3)
+    weights = class_weights_for(cfg, scene.segmentation)
+    nrng = np.random.default_rng(0)
+    main_sampler = RayPoolSampler(scene.train_frames, scene.num_semantic_classes)
+    inst_sampler = InstanceBundleSampler(
+        scene.train_frames, cfg.max_rays_instances, cfg.max_labels_per_image)
+    seg_sampler = SegmentBundleSampler(scene.train_frames,
+                                       cfg.max_rays_segments)
+
+    phases = [
+        ("main", TrainGates(semantics_on=True)),
+        ("main+instance", TrainGates(semantics_on=True, instances_on=True)),
+        ("main+instance+segment", TrainGates(semantics_on=True,
+                                             instances_on=True,
+                                             segments_on=True)),
+    ]
+    params_host = jax.tree.map(np.asarray, params)  # train steps donate state
+    for name, gates in phases:
+        params = jax.tree.map(jax.numpy.asarray, params_host)
+        state = init_train_state(cfg, params)
+        step = make_train_step(cfg, mcfg, rcfg, gates, weights, params)
+        bm = main_sampler.sample(nrng, cfg.batch_size)
+        bi = (inst_sampler.sample(nrng, cfg.batch_size_contrastive)
+              if gates.instances_on else None)
+        bs = (seg_sampler.sample(nrng, cfg.batch_size_segments)
+              if gates.segments_on else None)
+        state, metrics = step(state, state_r, bm, bi, bs,
+                              jax.random.PRNGKey(0), 1.0, 0.001)
+        float(metrics["loss_main"])  # compile + sync
+        n_iters = 5
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, metrics = step(state, state_r, bm, bi, bs,
+                                  jax.random.PRNGKey(i + 1), 1.0, 0.001)
+        float(metrics["loss_main"])  # host fetch = true synchronization
+        dt = (time.perf_counter() - t0) / n_iters
+        print(json.dumps({"metric": f"train_steps_per_sec[{name}]",
+                          "value": round(1.0 / dt, 3), "unit": "steps/s",
+                          "seconds_per_step": round(dt, 4)}))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from contrastive_lift_tpu.config import Config
     from contrastive_lift_tpu.factory import build_model
-    from contrastive_lift_tpu.ops.fused_grid import build_fused_grids
+    from contrastive_lift_tpu.ops.fused_grid import build_render_grids
     from contrastive_lift_tpu.renderer import render as R
 
     grid = 192
@@ -43,30 +128,18 @@ def main():
     num_classes = 21
     mcfg, params, rcfg, state_r = build_model(
         cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
-    # production fast-path operating point: 24 occupied segments x 8 fine
-    # samples covers 2-3 surfaces per ray with margin; k=48 head samples
-    # covers everything above raymarch_weight_thres (see PERFORMANCE.md for
-    # the knob/throughput curve: segs=16/k=32 reaches ~188k rays/s)
-    rcfg = dataclasses.replace(rcfg, head_topk=48, head_dtype="bfloat16",
-                               coarse_stride=8, max_segments=24)
+    rcfg = dataclasses.replace(rcfg, head_topk=32, head_topk_semins=16,
+                               head_dtype="bfloat16",
+                               coarse_stride=16, max_segments=16)
 
-    # Install a realistic occupancy pattern (an untrained field is empty and
-    # the empty-space-skipping path would render nothing): three orthogonal
-    # solid slabs through the origin — every ray crosses 2-3 surfaces, and
-    # ~20% of segments along a ray are occupied, matching trained indoor
-    # scenes. The slabs are expressed through the VM factors themselves.
-    import jax.numpy as jnp
-    lin = np.linspace(-1, 1, grid, dtype=np.float32)
-    slab = (np.abs(lin) < 0.12).astype(np.float32)
-    dp = [np.array(p) for p in params["density"]["planes"]]
-    dl = [np.array(l) for l in params["density"]["lines"]]
-    for i, (m0_profile, line_profile) in enumerate(
-            [(slab, np.ones_like(slab))] * 3):
-        dp[i][0] = 14.0 * m0_profile[None, :]  # slab along the plane's x-dim
-        dl[i][0] = line_profile
-    params = dict(params)
-    params["density"] = {"planes": tuple(jnp.asarray(p) for p in dp),
-                         "lines": tuple(jnp.asarray(l) for l in dl)}
+    # indoor-like analytic density field (see module docstring)
+    lin = jnp.linspace(-1, 1, grid)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    th = 1.5 * 2.0 / grid
+    surf = ((jnp.abs(r - 0.35) < th) | (jnp.abs(r - 0.65) < th)
+            | ((Z < -0.9) & (jnp.sqrt(X**2 + Y**2) < 0.7)))
+    dense = jnp.where(surf, 14.0, 0.0).astype(jnp.float32)
 
     rng = np.random.default_rng(0)
     origins = rng.uniform(-0.2, 0.2, (chunk, 3)).astype(np.float32)
@@ -77,10 +150,9 @@ def main():
         np.full((chunk, 1), 1.5, np.float32)], axis=-1)
     rays = jax.device_put(rays)
 
-    import jax.numpy as jnp
-    fused = jax.jit(lambda p: build_fused_grids(
-        p, mcfg, feature_dtype=jnp.bfloat16,
-        corner_features=("appearance",), with_occupancy=True))(params)
+    fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                               feature_dtype=jnp.bfloat16,
+                               dense_override=dense)
     fn = jax.jit(lambda p, f, r: R.render_rays(p, mcfg, rcfg, state_r, r,
                                                None, False, fused=f))
     out = fn(params, fused, rays)
@@ -104,4 +176,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()

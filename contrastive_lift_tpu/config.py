@@ -73,7 +73,12 @@ class Config:
     batch_size_segments: int = 32
     max_instances: int = 25
     chunk: int = 2048
-    chunk_segment: int = 16384   # rays per checkpointed segment-pass chunk
+    # rays per checkpointed segment-pass chunk. The reference uses 16384
+    # (template/panopli_paper.yaml:49) on a 40 GB A100; the v5e remat
+    # working set is ~chunk * n_samples * 256 * 12 bytes (three live
+    # [chunk*S, 256] layer activations in the rematted MLP backward), so
+    # 16384 at 128^3/443 samples wants ~21 GB and OOMs a 16 GB chip.
+    chunk_segment: int = 4096
     num_workers: int = 8         # host threads for the native ray-pool builder
     logger: str = "none"        # none|tensorboard|wandb
     overfit: bool = False
@@ -121,6 +126,14 @@ class Config:
     precision: str = "fp32"              # fp32|bf16 for head MLP compute
     fused_aux_density: bool = True       # fused dense-grid density for the
                                          # stop-gradient (instance/segment) passes
+    # two-level empty-space skipping at inference (renderer/render.py): test
+    # coarse stride-sample segments against the occupancy upper bound and
+    # evaluate density only in the nearest max_segments occupied ones.
+    # coarse_stride=0 disables. Error bound: skipped samples sit at the
+    # occ_alpha_thres alpha floor (tests/test_two_level.py); at 16/24 the
+    # measured error on a surface field is rgb p99 ~1e-3 (PERFORMANCE.md).
+    coarse_stride: int = 16
+    max_segments: int = 24
 
     def __post_init__(self):
         if isinstance(self.image_dim, int):

@@ -48,6 +48,8 @@ def make_render_config(cfg: Config, scene_bounds, grid_dim, mcfg: tf.TensoRFConf
         white_bg=white_bg,
         head_topk=head_topk,
         head_dtype="bfloat16" if cfg.precision in ("bf16", "bfloat16") else "float32",
+        coarse_stride=cfg.coarse_stride or None,
+        max_segments=cfg.max_segments,
     )
 
 

@@ -71,10 +71,13 @@ def _jitted_render(mcfg, rcfg):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=8)
-def _jitted_fuser(mcfg):
-    from ..ops.fused_grid import build_fused_grids
-    return jax.jit(lambda p: build_fused_grids(p, mcfg))
+def _build_render_grids(params, mcfg, rcfg, state_r):
+    import jax.numpy as jnp
+    from ..ops.fused_grid import build_render_grids
+    dtype = jnp.bfloat16 if rcfg.head_dtype == "bfloat16" else jnp.float32
+    return build_render_grids(params, mcfg, rcfg, state_r,
+                              compact=rcfg.coarse_stride is not None,
+                              feature_dtype=dtype)
 
 
 def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
@@ -88,7 +91,7 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     and parameters are replicated — the multi-chip render path
     (reference DDP analog; chunk must divide the mesh size).
     """
-    fused = _jitted_fuser(mcfg)(params) if use_fused else None
+    fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
     fn = _jitted_render(mcfg, rcfg)
     if mesh is not None:
         from ..parallel import mesh as pmesh

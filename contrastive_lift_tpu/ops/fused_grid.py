@@ -20,10 +20,12 @@ Gradients flow through build + gather, so the path also works for training.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -33,14 +35,35 @@ class FusedGrids(NamedTuple):
     density_cells: jnp.ndarray          # [(gx-1)(gy-1)(gz-1), 8] f32
     grid_dim: Tuple[int, int, int]
     features: Dict[str, jnp.ndarray]    # name -> [gx*gy*gz, out_dim]
-    # optional cell-corner-redundant feature grids [cells, 8*out_dim]: one
-    # row-gather per sample instead of 8, at 8x the memory (bf16 recommended)
+    # optional cell-corner-redundant feature grids [cells, 8*pad(out_dim)]:
+    # one row-gather per sample instead of 8, at 8x the memory (bf16
+    # recommended). Each corner's features are lane-padded so the row is a
+    # whole number of 128-lane tiles — a 216-lane bf16 row gathers at ~35M
+    # rows/s on v5e while the 256-lane padded row reaches ~62M (measured).
     feature_cells: Dict[str, jnp.ndarray] = {}
     # conservative coarse occupancy: max raw density over supervoxel blocks,
-    # dilated by one supervoxel (for two-level empty-space skipping)
-    coarse_occ: Optional[jnp.ndarray] = None      # [Cx*Cy*Cz] f32 (raw max)
+    # dilated by one supervoxel (for two-level empty-space skipping). Stored
+    # width-8 (value replicated across lanes): sub-row scalar gathers run at
+    # ~123M rows/s on v5e, (N,8) row gathers at ~267M (measured).
+    coarse_occ: Optional[jnp.ndarray] = None      # [Cx*Cy*Cz, 8] f32 (raw max)
     coarse_dim: Optional[Tuple[int, int, int]] = None
     supervoxel: int = 4
+    # -- brick atlas: the fine-density fast path ---------------------------
+    # v5e random row-gather throughput cliffs with table ROW COUNT: ~260-327M
+    # rows/s for <=110k-row tables vs ~66-90M for multi-million-row tables
+    # (measured, PERFORMANCE.md). Row b = the 5x5x5 corner lattice of a
+    # 4-voxel brick (lane a*25+b*5+c; 3 pad lanes), so the atlas has
+    # ceil((g-1)/4)^3 rows REGARDLESS of scene occupancy and one gather +
+    # an in-VMEM Pallas reduction (ops/pallas_interp.py) yields the exact
+    # trilinear density of any sample in the brick.
+    brick_atlas: Optional[jnp.ndarray] = None     # [Bx*By*Bz, 128]
+    # -- occupancy-compacted corner-feature tables -------------------------
+    # feature corner rows are too wide to benefit from the atlas trick;
+    # keeping rows only for cells inside occupied supervoxel bricks instead
+    # shrinks them by the scene's occupancy factor (2-20%). slot_map maps a
+    # brick to its slot (0 = empty -> zero sentinel rows).
+    slot_map: Optional[jnp.ndarray] = None        # [Cx*Cy*Cz, 8] int32
+    compact_feature_cells: Dict[str, jnp.ndarray] = {}  # corner rows, compacted
 
 
 def build_dense_density(params: dict) -> jnp.ndarray:
@@ -86,10 +109,22 @@ def build_dense_feature(params: dict, name: str,
     return total.reshape(gx * gy * gz, f).astype(dtype)
 
 
+def _corner_pad(fdim: int) -> int:
+    """Per-corner lane padding so 8*pad is a whole number of 128-lane tiles."""
+    return -(-fdim // 16) * 16
+
+
 def _cell_corner_feature(dense_flat: jnp.ndarray, grid_dim) -> jnp.ndarray:
-    """[g^3, F] -> [(gx-1)(gy-1)(gz-1), 8*F] corner-redundant feature rows."""
+    """[g^3, F] -> [(gx-1)(gy-1)(gz-1), 8*pad(F)] corner-redundant rows.
+
+    Each corner's F features are zero-padded to a multiple of 16 lanes so the
+    full row is tile-aligned (see FusedGrids.feature_cells note)."""
     gx, gy, gz = grid_dim
     dense = dense_flat.reshape(gx, gy, gz, -1)
+    fdim = dense.shape[-1]
+    pad = _corner_pad(fdim)
+    if pad != fdim:
+        dense = jnp.pad(dense, ((0, 0),) * 3 + ((0, pad - fdim),))
     corners = [dense[dx:gx - 1 + dx, dy:gy - 1 + dy, dz:gz - 1 + dz]
                for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
     out = jnp.concatenate(corners, axis=-1)
@@ -112,20 +147,33 @@ def _build_coarse_occ(dense: jnp.ndarray, supervoxel: int):
         window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
         padding=((1, 1),) * 3)
     cdim = dilated.shape
-    return dilated.reshape(-1), cdim
+    # width-8 replication: row gathers beat sub-row scalar gathers ~2x (v5e)
+    return jnp.repeat(dilated.reshape(-1, 1), 8, axis=1), cdim
 
 
 def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                       corner_features=(), with_occupancy: bool = False,
-                      supervoxel: int = 4) -> FusedGrids:
+                      supervoxel: int = 4,
+                      compact_capacity: Optional[int] = None,
+                      occ_raw_thres: Optional[float] = None,
+                      dense_override: Optional[jnp.ndarray] = None,
+                      with_atlas: bool = False,
+                      atlas_dtype=jnp.float32) -> FusedGrids:
     """Densify every grid branch present (density always; appearance/semantic/
     instance/feature when they are VM branches rather than xyz-MLPs).
 
     Branches listed in ``corner_features`` additionally get cell-corner-
     redundant rows (single-gather sampling; 8x memory — use bf16).
     ``with_occupancy`` adds the coarse grid for two-level empty-space skipping.
+    With ``compact_capacity`` (static; >= the occupied-brick count, see
+    ``count_occupied_bricks``) + ``occ_raw_thres``, additionally builds the
+    occupancy-compacted fast tables and drops the full-size corner tables.
+
+    ``dense_override`` substitutes an arbitrary pre-activation density grid
+    for the VM-densified one (benchmarks / tests with analytic fields).
     """
-    dense = build_dense_density(params)
+    dense = (build_dense_density(params) if dense_override is None
+             else dense_override)
     grid_dim = dense.shape
     features = {}
     feature_cells = {}
@@ -139,8 +187,186 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
     coarse_occ, coarse_dim = (None, None)
     if with_occupancy:
         coarse_occ, coarse_dim = _build_coarse_occ(dense, supervoxel)
-    return FusedGrids(_cell_corner_grid(dense), grid_dim, features,
-                      feature_cells, coarse_occ, coarse_dim, supervoxel)
+    atlas = _build_brick_atlas(dense, atlas_dtype) if with_atlas else None
+    fused = FusedGrids(_cell_corner_grid(dense), grid_dim, features,
+                       feature_cells, coarse_occ, coarse_dim, supervoxel,
+                       brick_atlas=atlas)
+    if compact_capacity is not None:
+        if occ_raw_thres is None or coarse_occ is None:
+            raise ValueError("compaction needs with_occupancy + occ_raw_thres")
+        fused = build_compact_tables(fused, occ_raw_thres, compact_capacity)
+    return fused
+
+
+def raw_occupancy_threshold(splus_shift: float, step_size: float,
+                            distance_scale: float,
+                            occ_alpha_thres: float) -> float:
+    """Pre-activation density value whose per-sample alpha equals
+    ``occ_alpha_thres`` — the host-side mirror of the occupancy test in
+    renderer/_two_level_density (alpha = 1-exp(-softplus(raw+shift)*step*ds)).
+    """
+    v = -np.log1p(-occ_alpha_thres) / (float(step_size) * distance_scale)
+    raw = float(np.log(np.expm1(v))) if v < 30 else v
+    return raw - splus_shift
+
+
+def count_occupied_bricks(fused: FusedGrids, occ_raw_thres: float) -> int:
+    """Host-side count of supervoxel bricks passing the occupancy test (the
+    required ``compact_capacity``). One tiny device->host sync."""
+    return int(jnp.sum(fused.coarse_occ[:, 0] > occ_raw_thres))
+
+
+def compact_capacity_bucket(n_occ: int) -> int:
+    """Round the occupied-brick count up to a ~12.5%-headroom bucket so jit
+    caches of the compacted-build / render survive small occupancy drift
+    without doubling the table footprint."""
+    cap = 1024
+    while cap < n_occ * 9 // 8:
+        cap = cap * 5 // 4 // 256 * 256 + 256
+    return cap
+
+
+def _build_brick_atlas(dense: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[gx,gy,gz] pre-activation density -> [Bx*By*Bz, 128] brick rows.
+
+    Brick (i,j,k) covers voxels [4i,4i+4]x[4j,..]x[4k,..]; its row holds the
+    5^3 corner lattice at lane a*25+b*5+c (edge-clamped at grid boundaries),
+    zero-padded to 128 lanes.
+    """
+    gx, gy, gz = dense.shape
+    bdims = tuple(-(-(g - 1) // 4) for g in dense.shape)
+    padded = jnp.pad(dense, [(0, 4 * b + 1 - g) for b, g in zip(bdims, dense.shape)],
+                     mode="edge")
+    bx, by, bz = bdims
+    corners = [padded[a:a + 4 * bx - 3:4, b:b + 4 * by - 3:4, c:c + 4 * bz - 3:4]
+               for a in range(5) for b in range(5) for c in range(5)]
+    atlas = jnp.stack(corners, axis=-1).reshape(bx * by * bz, 125)
+    return jnp.pad(atlas, ((0, 0), (0, 3))).astype(dtype)
+
+
+def brick_atlas_dims(grid_dim) -> Tuple[int, int, int]:
+    return tuple(-(-(int(g) - 1) // 4) for g in grid_dim)
+
+
+def sample_density_brick(fused: FusedGrids, xyz: jnp.ndarray,
+                         splus_shift: float) -> jnp.ndarray:
+    """Pre-activation density + shift at [P,3] coords in [-1,1] via one
+    brick-atlas gather + a dense 125-lane hat-product reduction. Exact
+    (identical arithmetic to the 8-corner cell interpolation: the hat
+    weights are nonzero exactly at the sample's 8 cell corners).
+
+    The weight build uses per-LANE constants (iota decode of the a*25+b*5+c
+    layout) against [P,1] broadcasts, which XLA fuses with the gather and the
+    reduction into one pass — measured 15.8 ms for 3.1M samples on v5e vs
+    ~34 ms for the [P,5]-outer-product formulation (materialized [P,125]
+    intermediates) and ~31 ms for gather + a Pallas reduction kernel
+    (ops/pallas_interp.py, kept as the measured-slower alternative)."""
+    gx, gy, gz = fused.grid_dim
+    by = -(-(gy - 1) // 4)
+    bz = -(-(gz - 1) // 4)
+    g = jnp.asarray((gx, gy, gz), jnp.float32)
+    p = (xyz + 1.0) * 0.5 * (g - 1.0)
+    cell = jnp.clip(jnp.floor(p), 0.0, g - 2.0).astype(jnp.int32)
+    brick = cell // 4
+    brickflat = (brick[:, 0] * by + brick[:, 1]) * bz + brick[:, 2]
+    rows = jnp.take(fused.brick_atlas, brickflat, axis=0)
+    frac = p - 4.0 * brick.astype(jnp.float32)
+    lane = jnp.arange(128)
+    a = (lane // 25).astype(jnp.float32)[None, :]
+    b = ((lane // 5) % 5).astype(jnp.float32)[None, :]
+    c = (lane % 5).astype(jnp.float32)[None, :]
+    w = (jnp.maximum(0.0, 1.0 - jnp.abs(frac[:, 0:1] - a))
+         * jnp.maximum(0.0, 1.0 - jnp.abs(frac[:, 1:2] - b))
+         * jnp.maximum(0.0, 1.0 - jnp.abs(frac[:, 2:3] - c)))
+    return jnp.sum(rows.astype(jnp.float32) * w, axis=1) + splus_shift
+
+
+def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,
+                         capacity: int) -> FusedGrids:
+    """Compact the corner-feature tables down to cells inside occupied bricks.
+
+    Layout: brick (supervoxel block) with slot s>0 owns rows
+    [s*sv^3, (s+1)*sv^3) of each compact table, cell-major within the brick;
+    slot 0 is the zero sentinel brick — samples in unoccupied bricks read
+    zero features, which the renderer's weight mask already discards (their
+    per-sample alpha is below occ_alpha_thres by construction).
+    Jittable with static ``capacity``; occupied bricks beyond capacity would
+    be silently dropped, so callers must size it via count_occupied_bricks.
+    """
+    occ0 = fused.coarse_occ[:, 0]
+    C = occ0.shape[0]
+    cx, cy, cz = fused.coarse_dim
+    gx, gy, gz = fused.grid_dim
+    sv = fused.supervoxel
+    B = sv ** 3
+    mask = occ0 > occ_raw_thres
+    (ids,) = jnp.nonzero(mask, size=capacity, fill_value=C)
+    slots = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    slot0 = jnp.zeros((C,), jnp.int32).at[ids].set(slots, mode="drop")
+    slot_map = jnp.repeat(slot0[:, None], 8, axis=1)
+
+    bx = ids // (cy * cz)
+    by = (ids // cz) % cy
+    bz = ids % cz
+    off = jnp.arange(sv, dtype=jnp.int32)
+    lx, ly, lz = jnp.meshgrid(off, off, off, indexing="ij")
+    cxi = jnp.clip(bx[:, None] * sv + lx.reshape(-1)[None, :], 0, gx - 2)
+    cyi = jnp.clip(by[:, None] * sv + ly.reshape(-1)[None, :], 0, gy - 2)
+    czi = jnp.clip(bz[:, None] * sv + lz.reshape(-1)[None, :], 0, gz - 2)
+    cell_flat = ((cxi * (gy - 1) + cyi) * (gz - 1) + czi).reshape(-1)
+
+    compact_fc = {}
+    for name, tab in fused.feature_cells.items():
+        rows = jnp.take(tab, cell_flat, axis=0)
+        compact_fc[name] = jnp.concatenate(
+            [jnp.zeros((B, rows.shape[-1]), rows.dtype), rows])
+    return fused._replace(feature_cells={}, slot_map=slot_map,
+                          compact_feature_cells=compact_fc)
+
+
+def build_render_grids(params: dict, mcfg, rcfg, state_r,
+                       compact: bool = True,
+                       feature_dtype=jnp.bfloat16,
+                       dense_override=None) -> FusedGrids:
+    """Host-side driver for the full inference fast path: corner appearance
+    rows (bf16), coarse occupancy for two-level empty-space skipping, and —
+    when ``compact`` — occupancy-compacted tables sized to the scene.
+
+    Capacity is bucketed (power of two) so the jitted builder/render
+    recompile only when occupancy crosses a bucket boundary, and the one
+    host sync per build is a 4-byte scalar.
+    """
+    corner = ("appearance",) if "appearance" in params else ()
+    dtype_name = jnp.dtype(feature_dtype).name
+    has_dense = dense_override is not None
+    if not compact:
+        return _cached_builder(mcfg, corner, dtype_name, None, None,
+                               has_dense)(params, dense_override)
+    thres = raw_occupancy_threshold(
+        mcfg.splus_density_shift, float(state_r.step_size),
+        rcfg.distance_scale, rcfg.occ_alpha_thres)
+    n_occ = int(_cached_counter(thres, has_dense)(params, dense_override))
+    cap = compact_capacity_bucket(n_occ)
+    return _cached_builder(mcfg, corner, dtype_name, cap, thres,
+                           has_dense)(params, dense_override)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_counter(thres: float, has_dense: bool = False):
+    def _count(p, dense_override):
+        dense = dense_override if has_dense else build_dense_density(p)
+        occ, _ = _build_coarse_occ(dense, 4)
+        return jnp.sum(occ[:, 0] > thres)
+    return jax.jit(_count)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False):
+    return jax.jit(lambda p, dense_override: build_fused_grids(
+        p, mcfg, feature_dtype=jnp.dtype(dtype_name), corner_features=corner,
+        with_occupancy=True, compact_capacity=cap, occ_raw_thres=thres,
+        dense_override=dense_override if has_dense else None,
+        with_atlas=True))
 
 
 def build_density_only(params: dict) -> FusedGrids:
@@ -161,7 +387,7 @@ def sample_coarse_occ(fused: FusedGrids, xyz: jnp.ndarray) -> jnp.ndarray:
     i = jnp.clip(p.astype(jnp.int32) // sv, 0,
                  jnp.asarray((cx - 1, cy - 1, cz - 1), jnp.int32))
     flat = (i[:, 0] * cy + i[:, 1]) * cz + i[:, 2]
-    return jnp.take(fused.coarse_occ, flat)
+    return jnp.take(fused.coarse_occ, flat, axis=0)[:, 0]
 
 
 def _cell_coords(grid_dim, xyz: jnp.ndarray):
@@ -172,6 +398,29 @@ def _cell_coords(grid_dim, xyz: jnp.ndarray):
     return i.astype(jnp.int32), f
 
 
+def _corner_weights(f: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear corner weights [P, 8] from in-cell fractions [P, 3]."""
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+    return jnp.concatenate([
+        (1 - fx) * (1 - fy) * (1 - fz), (1 - fx) * (1 - fy) * fz,
+        (1 - fx) * fy * (1 - fz), (1 - fx) * fy * fz,
+        fx * (1 - fy) * (1 - fz), fx * (1 - fy) * fz,
+        fx * fy * (1 - fz), fx * fy * fz], axis=-1)
+
+
+def _compact_row_index(fused: FusedGrids, i: jnp.ndarray) -> jnp.ndarray:
+    """Cell coords [P,3] -> row index into the compact tables (slot gather +
+    in-brick offset arithmetic). Empty bricks land in sentinel rows [0, sv^3)."""
+    cx, cy, cz = fused.coarse_dim
+    sv = fused.supervoxel
+    brick = jnp.minimum(i // sv, jnp.asarray((cx - 1, cy - 1, cz - 1)))
+    brickflat = (brick[:, 0] * cy + brick[:, 1]) * cz + brick[:, 2]
+    slot = jnp.take(fused.slot_map, brickflat, axis=0)[:, 0]
+    local = i - brick * sv
+    localflat = (local[:, 0] * sv + local[:, 1]) * sv + local[:, 2]
+    return slot * (sv ** 3) + localflat
+
+
 def sample_density_fused(fused: FusedGrids, xyz: jnp.ndarray,
                          splus_shift: float) -> jnp.ndarray:
     """Pre-activation density + shift at [P,3] coords in [-1,1]; one gather."""
@@ -179,49 +428,44 @@ def sample_density_fused(fused: FusedGrids, xyz: jnp.ndarray,
     i, f = _cell_coords(fused.grid_dim, xyz)
     flat_idx = (i[:, 0] * (gy - 1) + i[:, 1]) * (gz - 1) + i[:, 2]
     rows = jnp.take(fused.density_cells, flat_idx, axis=0)  # [P, 8]
-    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
-    w = jnp.concatenate([
-        (1 - fx) * (1 - fy) * (1 - fz), (1 - fx) * (1 - fy) * fz,
-        (1 - fx) * fy * (1 - fz), (1 - fx) * fy * fz,
-        fx * (1 - fy) * (1 - fz), fx * (1 - fy) * fz,
-        fx * fy * (1 - fz), fx * fy * fz], axis=-1)
-    return jnp.sum(rows * w, axis=-1) + splus_shift
+    return jnp.sum(rows * _corner_weights(f), axis=-1) + splus_shift
 
 
-def sample_feature_fused(fused: FusedGrids, name: str,
-                         xyz: jnp.ndarray) -> jnp.ndarray:
+def sample_feature_fused(fused: FusedGrids, name: str, xyz: jnp.ndarray,
+                         out_dim: Optional[int] = None) -> jnp.ndarray:
     """Projected branch features at [P,3] coords in [-1,1].
 
-    Uses the single-gather cell-corner grid when present, else 8 row-gathers
-    on the dense grid.
+    Uses the single-gather cell-corner grid (compacted variant when present),
+    else 8 row-gathers on the dense grid. Corner rows are per-corner
+    lane-padded, so ``out_dim`` (static) is required to slice the true width
+    when the corner path is taken with a padded table.
     """
     gx, gy, gz = fused.grid_dim
     i, f = _cell_coords(fused.grid_dim, xyz)
     fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
 
-    if name in fused.feature_cells:
-        cells = fused.feature_cells[name]
+    cells = fused.compact_feature_cells.get(name)
+    if cells is not None:
+        rows = jnp.take(cells, _compact_row_index(fused, i), axis=0)
+    elif name in fused.feature_cells:
         flat_idx = (i[:, 0] * (gy - 1) + i[:, 1]) * (gz - 1) + i[:, 2]
-        rows = jnp.take(cells, flat_idx, axis=0).astype(jnp.float32)
-        fdim = rows.shape[-1] // 8
-        rows = rows.reshape(-1, 8, fdim)
-        w = jnp.stack([
-            (1 - fx) * (1 - fy) * (1 - fz), (1 - fx) * (1 - fy) * fz,
-            (1 - fx) * fy * (1 - fz), (1 - fx) * fy * fz,
-            fx * (1 - fy) * (1 - fz), fx * (1 - fy) * fz,
-            fx * fy * (1 - fz), fx * fy * fz], axis=1)  # [P, 8, 1]
-        return jnp.sum(rows * w, axis=1)
+        rows = jnp.take(fused.feature_cells[name], flat_idx, axis=0)
+    else:
+        grid = fused.features[name]
+        base = (i[:, 0] * gy + i[:, 1]) * gz + i[:, 2]
+        out = 0.0
+        for dx in (0, 1):
+            wx = fx if dx else (1 - fx)
+            for dy in (0, 1):
+                wy = fy if dy else (1 - fy)
+                for dz in (0, 1):
+                    wz = fz if dz else (1 - fz)
+                    idx = base + (dx * gy + dy) * gz + dz
+                    out = out + jnp.take(grid, idx, axis=0).astype(jnp.float32) \
+                        * (wx * wy * wz)
+        return out
 
-    grid = fused.features[name]
-    base = (i[:, 0] * gy + i[:, 1]) * gz + i[:, 2]
-    out = 0.0
-    for dx in (0, 1):
-        wx = fx if dx else (1 - fx)
-        for dy in (0, 1):
-            wy = fy if dy else (1 - fy)
-            for dz in (0, 1):
-                wz = fz if dz else (1 - fz)
-                idx = base + (dx * gy + dy) * gz + dz
-                out = out + jnp.take(grid, idx, axis=0).astype(jnp.float32) \
-                    * (wx * wy * wz)
-    return out
+    rows = rows.astype(jnp.float32).reshape(rows.shape[0], 8, -1)
+    w = _corner_weights(f)[..., None]                       # [P, 8, 1]
+    out = jnp.sum(rows * w, axis=1)                         # [P, pad(F)]
+    return out if out_dim is None else out[:, :out_dim]

@@ -26,7 +26,8 @@ import numpy as np
 from ..models import tensorf as tf
 from ..ops.compositing import composite, distortion_loss, raw_to_alpha
 from ..ops.fused_grid import (FusedGrids, sample_coarse_occ,
-                              sample_density_fused, sample_feature_fused)
+                              sample_density_brick, sample_density_fused,
+                              sample_feature_fused)
 
 
 @dataclass(frozen=True)
@@ -50,6 +51,11 @@ class RenderConfig:
     # samples, panopli_tensoRF_renderer.py:103). Exact whenever <= k samples
     # per ray clear the threshold. None = dense evaluation.
     head_topk: Optional[int] = None
+    # optional smaller budget for the semantic/instance MLPs (they are the
+    # FLOP-heavy heads; their outputs feed argmax/clustering and tolerate a
+    # tighter cut than rgb). Uses the first k2 of the weight-sorted top-k
+    # samples, so it costs nothing extra. None = same as head_topk.
+    head_topk_semins: Optional[int] = None
     # bf16 for head MLP matmuls (grids + transmittance stay fp32)
     head_dtype: str = "float32"
     # two-level empty-space skipping (inference): test coarse segments of
@@ -200,8 +206,12 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
                      axis=-1) & valid
     xyz_n = normalize_coordinates(state, xyz)
 
-    raw = sample_density_fused(fused, xyz_n.reshape(-1, 3),
-                               mcfg.splus_density_shift)
+    if fused.brick_atlas is not None:
+        raw = sample_density_brick(fused, xyz_n.reshape(-1, 3),
+                                   mcfg.splus_density_shift)
+    else:
+        raw = sample_density_fused(fused, xyz_n.reshape(-1, 3),
+                                   mcfg.splus_density_shift)
     sigma = jax.nn.softplus(raw).reshape(R, -1)
     sigma = jnp.where(in_box, sigma, 0.0)
 
@@ -212,12 +222,18 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
     return xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_weight
 
 
+_BRANCH_DIMS = {"appearance": "dim_appearance", "semantic": "dim_semantics",
+                "instance": "dim_instances"}
+
+
 def _branch_feats(params, mcfg, fused: Optional[FusedGrids], name: str, flat):
     """Precomputed dense-grid features for a branch if available, else None
     (the head falls back to direct VM sampling or xyz input)."""
     if fused is not None and (name in fused.features
-                              or name in fused.feature_cells):
-        return sample_feature_fused(fused, name, flat)
+                              or name in fused.feature_cells
+                              or name in fused.compact_feature_cells):
+        dim = 96 if name == "feature" else getattr(mcfg, _BRANCH_DIMS[name])
+        return sample_feature_fused(fused, name, flat, out_dim=dim)
     return None
 
 
@@ -276,13 +292,20 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         head_weight = w_k
         flat = xyz_k.reshape(-1, 3)
         Sh = k
+        # smaller budget for the flop-heavy sem/ins MLPs: the top-k columns
+        # are weight-sorted, so the first k2 ARE the top-k2 samples
+        k2 = Sh if rcfg.head_topk_semins is None else min(rcfg.head_topk_semins, Sh)
+        flat2 = xyz_k[:, :k2].reshape(-1, 3)
     else:
         head_weight = weight
         flat = xyz_n.reshape(-1, 3)
         Sh = S
+        k2 = Sh
+        flat2 = flat
 
     app_mask = head_weight > rcfg.raymarch_weight_thres         # [R, Sh]
     mask_flat = app_mask.reshape(-1, 1)
+    mask_flat2 = app_mask[:, :k2].reshape(-1, 1)
 
     viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (R, Sh, 3)).reshape(-1, 3)
     rgb = tf.render_appearance(params, mcfg, viewdirs, flat, compute_dtype,
@@ -299,23 +322,26 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         distilled = jnp.where(mask_flat, distilled, 0.0)
         distilled_for_heads = (jax.lax.stop_gradient(distilled)
                                if rcfg.feature_stop_grad else distilled)
+    dfh2 = distilled_for_heads
+    if dfh2 is not None and k2 != Sh:
+        dfh2 = dfh2.reshape(R, Sh, -1)[:, :k2].reshape(R * k2, -1)
 
     semantics = tf.render_semantics(
-        params, mcfg, flat, distilled_for_heads, compute_dtype,
-        feats=_branch_feats(params, mcfg, fused, "semantic", flat))
-    semantics = jnp.where(mask_flat, semantics, 0.0).reshape(R, Sh, -1)
+        params, mcfg, flat2, dfh2, compute_dtype,
+        feats=_branch_feats(params, mcfg, fused, "semantic", flat2))
+    semantics = jnp.where(mask_flat2, semantics, 0.0).reshape(R, k2, -1)
 
     instances = tf.render_instances(
-        params, mcfg, flat, distilled_for_heads, compute_dtype,
-        feats=_branch_feats(params, mcfg, fused, "instance", flat))
-    instances = jnp.where(mask_flat, instances, 0.0).reshape(R, Sh, -1)
+        params, mcfg, flat2, dfh2, compute_dtype,
+        feats=_branch_feats(params, mcfg, fused, "instance", flat2))
+    instances = jnp.where(mask_flat2, instances, 0.0).reshape(R, k2, -1)
 
     opacity = jnp.sum(weight, -1)
     rgb_map = composite(head_weight, rgb)
 
     w = _head_weights(rcfg, head_weight)
-    semantic_map = jnp.sum(w * semantics, axis=-2)
-    instance_map = jnp.sum(w * instances, axis=-2)
+    semantic_map = jnp.sum(w[:, :k2] * semantics, axis=-2)
+    instance_map = jnp.sum(w[:, :k2] * instances, axis=-2)
     distilled_map = jnp.zeros((1, 1), jnp.float32)
     if mcfg.use_distilled:
         distilled_map = jnp.sum(w * distilled.reshape(R, Sh, -1), axis=-2)

@@ -1,0 +1,149 @@
+"""Brick-atlas fast path: exactness of atlas interpolation, compacted
+feature tables, per-head top-k, and the Pallas interp kernel.
+
+These guard the inference fast path introduced for the v5e gather cliffs
+(PERFORMANCE.md): gather throughput collapses with table row count, so the
+fine density samples one 128-lane brick row (5^3 corner lattice of a 4-voxel
+brick) per sample, and corner-feature rows keep only occupied bricks."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from contrastive_lift_tpu.config import Config
+from contrastive_lift_tpu.factory import build_model
+from contrastive_lift_tpu.ops import fused_grid as fg
+from contrastive_lift_tpu.renderer import render as R
+
+
+def _model(grid=33, classes=7):
+    cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    return build_model(cfg, classes, step_ratio=0.25)
+
+
+def test_atlas_interp_matches_cell_interp():
+    """sample_density_brick == sample_density_fused (same trilinear math)."""
+    mcfg, params, rcfg, state_r = _model()
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True)
+    xyz = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2048, 3)),
+                      jnp.float32)
+    a = fg.sample_density_brick(fused, xyz, mcfg.splus_density_shift)
+    b = fg.sample_density_fused(fused, xyz, mcfg.splus_density_shift)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_atlas_boundary_cells():
+    """Edge-clamped atlas rows agree with the dense path at grid boundaries
+    (grid dims not divisible by the brick size)."""
+    mcfg, params, rcfg, state_r = _model(grid=30)
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True)
+    # points hugging every face/corner of the box
+    eps = 1e-4
+    corners = np.array(np.meshgrid(*[[-1 + eps, 0.0, 1 - eps]] * 3,
+                                   indexing="ij")).reshape(3, -1).T
+    xyz = jnp.asarray(corners, jnp.float32)
+    a = fg.sample_density_brick(fused, xyz, mcfg.splus_density_shift)
+    b = fg.sample_density_fused(fused, xyz, mcfg.splus_density_shift)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_compact_features_match_full():
+    """Occupancy-compacted corner rows reproduce full-table features inside
+    occupied bricks and zero outside (where the weight mask discards them)."""
+    mcfg, params, rcfg, state_r = _model()
+    rng = np.random.default_rng(1)
+    # structured density so some bricks are empty: slab on component 0, all
+    # other components zeroed (random init is weakly dense everywhere)
+    lin = np.linspace(-1, 1, 33, dtype=np.float32)
+    slab = (np.abs(lin) < 0.25).astype(np.float32)
+    dp = [np.zeros_like(np.array(p)) for p in params["density"]["planes"]]
+    dl = [np.zeros_like(np.array(l)) for l in params["density"]["lines"]]
+    dp[0][0] = 9.0 * slab[None, :]   # single slab along x only
+    dl[0][0] = 1.0
+    params = dict(params)
+    params["density"] = {"planes": tuple(jnp.asarray(p) for p in dp),
+                         "lines": tuple(jnp.asarray(l) for l in dl)}
+
+    # at a 33^3 grid the per-sample step is large enough that even the empty
+    # field's alpha (softplus(-10)*step*ds ~ 1.8e-5) clears the production
+    # 1e-5 threshold; use a threshold matched to this step size
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale, 1e-4)
+    full = fg.build_fused_grids(params, mcfg, corner_features=("appearance",),
+                                with_occupancy=True)
+    n_occ = fg.count_occupied_bricks(full, thres)
+    assert 0 < n_occ < full.coarse_occ.shape[0]
+    comp = fg.build_compact_tables(full, thres, fg.compact_capacity_bucket(n_occ))
+
+    xyz = jnp.asarray(rng.uniform(-1, 1, (4096, 3)), jnp.float32)
+    f_full = fg.sample_feature_fused(full, "appearance", xyz,
+                                     out_dim=mcfg.dim_appearance)
+    f_comp = fg.sample_feature_fused(comp, "appearance", xyz,
+                                     out_dim=mcfg.dim_appearance)
+    occ = np.asarray(fg.sample_coarse_occ(full, xyz)) > thres
+    np.testing.assert_allclose(np.asarray(f_comp)[occ],
+                               np.asarray(f_full)[occ], rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(f_comp)[~occ] == 0.0)
+
+
+def test_per_head_topk_prefix():
+    """head_topk_semins uses the top-k2 weight samples: when every sample
+    above the weight threshold fits in k2, maps are identical."""
+    mcfg, params, rcfg, state_r = _model()
+    rays = np.zeros((32, 8), np.float32)
+    rng = np.random.default_rng(2)
+    o = rng.uniform(-0.2, 0.2, (32, 3))
+    d = rng.normal(size=(32, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays[:, 0:3], rays[:, 3:6] = o, d
+    rays[:, 6], rays[:, 7] = 0.05, 3.0
+    rays = jnp.asarray(rays)
+
+    base = dataclasses.replace(rcfg, head_topk=64, head_topk_semins=None)
+    split = dataclasses.replace(rcfg, head_topk=64, head_topk_semins=64)
+    out_a = R.render_rays(params, mcfg, base, state_r, rays, None, False)
+    out_b = R.render_rays(params, mcfg, split, state_r, rays, None, False)
+    for key in ("semantics", "instances", "rgb"):
+        np.testing.assert_allclose(np.asarray(out_a[key]),
+                                   np.asarray(out_b[key]), rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_interp_kernel_matches():
+    """The Pallas brick-interp kernel (interpret mode on CPU) matches the
+    fused-XLA lane formulation."""
+    from contrastive_lift_tpu.ops.pallas_interp import (brick_interp,
+                                                        default_interpret)
+    rng = np.random.default_rng(3)
+    rows = jnp.asarray(rng.standard_normal((500, 128)), jnp.float32)
+    frac = jnp.asarray(rng.uniform(0, 4, (500, 3)), jnp.float32)
+    got = np.asarray(brick_interp(rows, frac, interpret=default_interpret()))
+
+    lane = np.arange(128)
+    a, b, c = lane // 25, (lane // 5) % 5, lane % 5
+    f = np.asarray(frac)
+    w = (np.maximum(0, 1 - np.abs(f[:, 0:1] - a))
+         * np.maximum(0, 1 - np.abs(f[:, 1:2] - b))
+         * np.maximum(0, 1 - np.abs(f[:, 2:3] - c)))
+    want = (np.asarray(rows) * w).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_render_grids_driver_buckets():
+    """build_render_grids sizes the compact capacity from the scene."""
+    mcfg, params, rcfg, state_r = _model()
+    rcfg = dataclasses.replace(rcfg, coarse_stride=8, max_segments=12)
+    fused = fg.build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                                  feature_dtype=jnp.float32)
+    assert fused.brick_atlas is not None
+    assert fused.slot_map is not None
+    assert "appearance" in fused.compact_feature_cells
+    assert not fused.feature_cells  # full corner tables dropped
