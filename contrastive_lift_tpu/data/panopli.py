@@ -166,10 +166,17 @@ class PanopLiSceneReader:
 
         feats = None
         if self.load_feat:
-            import torch
             fdir = "features" if self.feature_type == "nearest" else "features_bilinear"
-            f = torch.load(self.root / fdir / f"{name}.pt", map_location="cpu",
-                           weights_only=True).numpy().astype(np.float32)
+            npy = self.root / fdir / f"{name}.npy"
+            if npy.exists():
+                # torch-free path (preferred on TPU hosts): convert the
+                # reference's .pt dumps once with tools/convert_features.py
+                f = np.load(npy).astype(np.float32)
+            else:
+                import torch
+                f = torch.load(self.root / fdir / f"{name}.pt",
+                               map_location="cpu",
+                               weights_only=True).numpy().astype(np.float32)
             f = _resize_bilinear_chw(f.transpose(2, 0, 1), (h, w)).transpose(1, 2, 0)
             f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
             feats = f.reshape(-1, f.shape[-1])

@@ -70,7 +70,8 @@ def load_raw_to_reduced(mapping_path: Optional[str]) -> Dict[int, int]:
 def preprocess_scannet(sens_path, output_dir, label_dir=None, m2f_dir=None,
                        label_mapping=None, frame_skip: int = 10,
                        keyframe_window: int = 4, image_hw=(480, 640),
-                       test_fraction: float = 0.2) -> dict:
+                       test_fraction: float = 0.2,
+                       panoptic_dir=None, coco_remap: bool = False) -> dict:
     """Convert one ScanNet scene. Returns a summary dict."""
     from PIL import Image
 
@@ -147,6 +148,13 @@ def preprocess_scannet(sens_path, output_dir, label_dir=None, m2f_dir=None,
         fg_classes=sorted(thing_classes),
         bg_classes=sorted(set(range(len(REDUCED_CLASSES))) - thing_classes),
         instance_to_semantics=inst_to_sem)
+    if panoptic_dir is not None:
+        # raw Mask2Former panoptic dumps -> m2f_* machine labels (replaces
+        # the placeholder m2f folders written above; reference
+        # map_panoptic_coco, preprocess_scannet.py:429-517)
+        from .m2f import map_panoptic_outputs
+        map_panoptic_outputs(writer.root, panoptic_dir,
+                             use_coco_remap=coco_remap, frame_names=names)
     return {"frames": len(names), "output": str(writer.root)}
 
 
@@ -160,9 +168,16 @@ def main(argv=None):
                         help="per-frame <idx>.npz machine labels")
     parser.add_argument("--label_mapping", default=None)
     parser.add_argument("--frame_skip", type=int, default=10)
+    parser.add_argument("--panoptic_dir", default=None,
+                        help="raw Mask2Former panoptic dumps "
+                             "(<idx>.ptz/.pt/.npz) to convert to m2f_*")
+    parser.add_argument("--coco_remap", action="store_true",
+                        help="fold COCO category names via the shipped csv")
     args = parser.parse_args(argv)
     print(preprocess_scannet(args.sens_path, args.output_dir, args.label_dir,
-                             args.m2f_dir, args.label_mapping, args.frame_skip))
+                             args.m2f_dir, args.label_mapping, args.frame_skip,
+                             panoptic_dir=args.panoptic_dir,
+                             coco_remap=args.coco_remap))
 
 
 if __name__ == "__main__":

@@ -96,3 +96,33 @@ def test_cli_train_render_evaluate(tmp_path):
     ])
     metrics = (out_dir / "metrics.txt").read_text()
     assert "pq:" in metrics
+
+    # legacy argmax-channel render CLI (reference render_panopli_original.py)
+    from contrastive_lift_tpu.cli import render_legacy as legacy_cli
+    legacy_out = tmp_path / "legacy_out"
+    legacy_cli.main([
+        "--ckpt_path", str(ckpt), "--image_dim", "24", "32",
+        "--output_dir", str(legacy_out), "--chunk", "1024",
+    ])
+    assert len(list((legacy_out / "pred_semantics").iterdir())) == 2
+    assert len(list((legacy_out / "pred_surrogateid").iterdir())) == 2
+    img = Image.open(next((legacy_out / "pred_surrogateid").iterdir()))
+    assert np.asarray(img).max() < 3  # argmax over max_instances channels
+
+    # trajectory variant: renders a spherical orbit instead of the test split
+    traj_out = tmp_path / "legacy_traj"
+    legacy_cli.main([
+        "--ckpt_path", str(ckpt), "--image_dim", "24", "32",
+        "--output_dir", str(traj_out), "--chunk", "1024",
+        "--render_trajectory", "--trajectory_frames", "3",
+    ])
+    assert len(list((traj_out / "pred_semantics").iterdir())) == 3
+
+    # bandwidth-sweep CLI main (reference find_bandwidth.py)
+    from contrastive_lift_tpu.cli import find_bandwidth as bw_cli
+    bw_out = tmp_path / "bw_out"
+    bw_cli.main([
+        "--ckpt_path", str(ckpt), "--image_dim", "24", "32",
+        "--output_dir", str(bw_out), "--chunk", "1024",
+    ])
+    assert (bw_out / "all_thing_features_train.npy").exists()

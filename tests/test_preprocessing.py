@@ -152,3 +152,120 @@ def test_scene_writer_mos_independence(tmp_path):
     writer.write_splits(["0"], [])
     writer.write_segmentation_data([1], [0], {0: 0})
     assert (tmp_path / "s" / "segmentation_data.pkl").exists()
+
+
+# ---------------------------------------------------------------------------
+# Raw Mask2Former panoptic dump -> m2f_* conversion (reference
+# map_panoptic_coco, preprocess_scannet.py:429-517)
+# ---------------------------------------------------------------------------
+
+def _write_m2f_fixture(scene, names, fmt="npz"):
+    """Tiny raw-panoptic fixture: seg 0 = no prediction (invalid), wall
+    (stuff, class 1), two chairs (thing, class 5 'chair' in the reduced set).
+    """
+    import gzip
+    import json as _json
+    dumps = scene / "panoptic"
+    dumps.mkdir(parents=True)
+    for fi, name in enumerate(names):
+        mask = np.zeros((8, 8), np.int32)
+        mask[0:4, :] = 7          # wall segment
+        mask[4:8, 0:4] = 9        # chair A
+        mask[5:8, 5:8] = 12       # chair B
+        segments = [
+            {"id": 7, "category_id": 1, "category_name": "wall-brick"},
+            {"id": 9, "category_id": 5, "category_name": "chair"},
+            {"id": 12, "category_id": 5, "category_name": "chair"},
+        ]
+        probs = np.full((8, 8, 6), 1 / 6, np.float32)
+        conf = np.full((8, 8), 0.9, np.float32)
+        conf_nt = np.full((8, 8), 0.8, np.float32)
+        if fmt == "npz":
+            np.savez_compressed(
+                dumps / f"{name}.npz", mask=mask, mask_notta=mask,
+                segments=_json.dumps(segments),
+                segments_notta=_json.dumps(segments),
+                probabilities=probs, confidences=conf,
+                confidences_notta=conf_nt)
+        else:
+            import torch
+            data = {"mask": torch.from_numpy(mask),
+                    "mask_notta": torch.from_numpy(mask),
+                    "segments": segments, "segments_notta": segments,
+                    "probabilities": torch.from_numpy(probs),
+                    "confidences": torch.from_numpy(conf),
+                    "confidences_notta": torch.from_numpy(conf_nt)}
+            with gzip.open(dumps / f"{name}.ptz", "wb") as f:
+                torch.save(data, f)
+    return dumps
+
+
+@pytest.mark.parametrize("fmt", ["npz", "ptz"])
+def test_map_panoptic_outputs_roundtrip(tmp_path, fmt):
+    from PIL import Image
+    from contrastive_lift_tpu.data.preprocessing import m2f
+
+    scene = tmp_path / "scene"
+    names = ["0000", "0001"]
+    _write_m2f_fixture(scene, names, fmt)
+    tables = m2f.map_panoptic_outputs(scene, frame_names=names)
+
+    sem = np.array(Image.open(scene / "m2f_semantics" / "0000.png"))
+    inst0 = np.array(Image.open(scene / "m2f_instance" / "0000.png"))
+    inst1 = np.array(Image.open(scene / "m2f_instance" / "0001.png"))
+    inv = np.array(Image.open(scene / "m2f_invalid" / "0000.png"))
+    segm0 = np.array(Image.open(scene / "m2f_segments" / "0000.png"))
+    segm1 = np.array(Image.open(scene / "m2f_segments" / "0001.png"))
+
+    assert sem[0, 0] == 1 and sem[5, 1] == 5 and sem[6, 6] == 5
+    assert sem[4, 4] == 0                       # unlabeled pixel -> void
+    # wall is stuff -> instance 0; chairs get scene-wide ids 1..4
+    assert inst0[0, 0] == 0
+    assert inst0[5, 1] == 1 and inst0[6, 6] == 2
+    assert inst1[5, 1] == 3 and inst1[6, 6] == 4
+    assert tables["m2f_instance_to_semantic"] == {1: 5, 2: 5, 3: 5, 4: 5}
+    # invalid marks only prediction-free pixels
+    assert inv[4, 4] == 255 and inv[0, 0] == 0
+    # 2D segment ids are scene-wide unique
+    assert segm0.max() == 3 and segm1.min() in (0, 4) and segm1.max() == 6
+    # probabilities npz keeps the reference keys
+    npz = np.load(scene / "m2f_probabilities" / "0000.npz")
+    assert set(npz.files) >= {"probability", "confidence", "confidence_notta"}
+    # segmentation_data.pkl got the instance->semantic table
+    import pickle
+    pkl = pickle.loads((scene / "segmentation_data.pkl").read_bytes())
+    assert pkl["m2f_instance_to_semantic"] == {1: 5, 2: 5, 3: 5, 4: 5}
+
+
+def test_map_panoptic_coco_name_remap(tmp_path):
+    """COCO category names fold through the shipped csv: 'wall-brick' -> wall
+    (class 1), 'chair' -> chair (class 5, thing)."""
+    from PIL import Image
+    from contrastive_lift_tpu.data.preprocessing import m2f
+
+    mapping = m2f.load_coco_to_scannet()
+    assert mapping["wall-brick"] == 1
+    assert mapping["chair"] == 5
+    flags = m2f.load_thing_flags()
+    assert flags[0] is False and flags[5] is True   # void, chair
+    names = m2f.load_class_names()
+    assert names[0] == "void" and names[5] == "chair"
+
+    scene = tmp_path / "scene"
+    _write_m2f_fixture(scene, ["0000"])
+    # corrupt category_id to prove the remap path uses names, not ids
+    import json as _json
+    npz = np.load(scene / "panoptic" / "0000.npz", allow_pickle=False)
+    segs = _json.loads(str(npz["segments"]))
+    for s in segs:
+        s["category_id"] = 999
+    np.savez_compressed(
+        scene / "panoptic" / "0000.npz", mask=npz["mask"],
+        mask_notta=npz["mask_notta"], segments=_json.dumps(segs),
+        segments_notta=_json.dumps(segs), probabilities=npz["probabilities"],
+        confidences=npz["confidences"],
+        confidences_notta=npz["confidences_notta"])
+    m2f.map_panoptic_outputs(scene, use_coco_remap=True,
+                             frame_names=["0000"])
+    sem = np.array(Image.open(scene / "m2f_semantics" / "0000.png"))
+    assert sem[0, 0] == 1 and sem[5, 1] == 5
