@@ -10,10 +10,10 @@ head. Uses the production inference fast path (ops/fused_grid.py):
 brick-atlas density (one 128-lane gather + fused hat-product interpolation
 per sample), two-level empty-space skipping (stride-16 coarse tests, 16 fine
 segments), occupancy-compacted bf16 corner-feature rows, weight-sorted
-top-k head compaction (k=32 appearance, k=16 semantics/instances).
+top-k head compaction (k=24 appearance, k=12 semantics/instances).
 
 Fidelity at this operating point vs dense fp32 rendering of the same field
-(4096-ray probe, PERFORMANCE.md): rgb p99 err 1.1e-3, depth p99 2.8e-4,
+(4096-ray probe, PERFORMANCE.md): rgb p99 err 5.3e-3, depth p99 2.8e-4,
 semantic argmax mismatch 0.00%, opacity max err 0.05.
 
 Scene: an indoor-like analytic field on the 192^3 grid — two nested sphere
@@ -85,12 +85,19 @@ def bench_train():
         ("main+instance+segment", TrainGates(semantics_on=True,
                                              instances_on=True,
                                              segments_on=True)),
+        # opt-in train-time top-k (Config.head_topk_train=64): heads run on
+        # the 64 highest-weight samples of ~443 per ray — exact once the
+        # field is surface-peaked; the lever for the MLP-bound segment phase
+        ("all+topk64", TrainGates(semantics_on=True, instances_on=True,
+                                  segments_on=True)),
     ]
+    rcfg_topk = dataclasses.replace(rcfg, head_topk=64)
     params_host = jax.tree.map(np.asarray, params)  # train steps donate state
     for name, gates in phases:
         params = jax.tree.map(jax.numpy.asarray, params_host)
         state = init_train_state(cfg, params)
-        step = make_train_step(cfg, mcfg, rcfg, gates, weights, params)
+        rcfg_p = rcfg_topk if name.endswith("topk64") else rcfg
+        step = make_train_step(cfg, mcfg, rcfg_p, gates, weights, params)
         bm = main_sampler.sample(nrng, cfg.batch_size)
         bi = (inst_sampler.sample(nrng, cfg.batch_size_contrastive)
               if gates.instances_on else None)
@@ -121,14 +128,15 @@ def main():
     from contrastive_lift_tpu.renderer import render as R
 
     grid = 192
-    chunk = 16384
+    chunk = 8192  # measured fastest (16k: 327k rays/s, 8k: 350k — smaller
+    # working sets keep the gather tables hotter)
     cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
                  instance_loss_mode="slow_fast", use_DINO_style=True,
                  chunk=chunk, seed=0, precision="bf16").resolve_epochs()
     num_classes = 21
     mcfg, params, rcfg, state_r = build_model(
         cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
-    rcfg = dataclasses.replace(rcfg, head_topk=32, head_topk_semins=16,
+    rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
                                head_dtype="bfloat16",
                                coarse_stride=16, max_segments=16)
 
@@ -158,7 +166,7 @@ def main():
     out = fn(params, fused, rays)
     float(out["rgb"][0, 0])  # compile + sync
 
-    n_iters = 20
+    n_iters = 40
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn(params, fused, rays)

@@ -134,6 +134,12 @@ class Config:
     # measured error on a surface field is rgb p99 ~1e-3 (PERFORMANCE.md).
     coarse_stride: int = 16
     max_segments: int = 24
+    # opt-in train-time top-k head compaction (renderer _aux_topk /
+    # render_rays): heads evaluate only the k highest-weight samples per ray.
+    # Exact once the field is surface-peaked (same contract as inference
+    # top-k); 0 = off (default — early-training fields are not yet peaked,
+    # and off preserves step-for-step reference parity).
+    head_topk_train: int = 0
 
     def __post_init__(self):
         if isinstance(self.image_dim, int):

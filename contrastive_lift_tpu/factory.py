@@ -37,6 +37,10 @@ def make_render_config(cfg: Config, scene_bounds, grid_dim, mcfg: tf.TensoRFConf
                        n_samples_override=None, head_topk=None) -> R.RenderConfig:
     n_samples = (n_samples_override if n_samples_override is not None
                  else R.compute_n_samples(scene_bounds, grid_dim, step_ratio))
+    if head_topk is None and getattr(cfg, "head_topk_train", 0):
+        # opt-in train-time top-k head compaction (Config.head_topk_train);
+        # inference callers pass an explicit head_topk and are unaffected
+        head_topk = int(cfg.head_topk_train)
     return R.RenderConfig(
         n_samples=n_samples,
         num_semantic_classes=mcfg.num_semantic_classes,

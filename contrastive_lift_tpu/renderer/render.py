@@ -369,6 +369,25 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     }
 
 
+def _aux_topk(rcfg: RenderConfig, weight, xyz_n, z_vals):
+    """Weight-sorted top-k compaction for the stop-grad aux passes.
+
+    Exact whenever <= k samples per ray clear raymarch_weight_thres (the
+    reference's boolean-indexing sparsity holds ~95% of samples below it,
+    panopli_tensoRF_renderer.py:103); opt-in via head_topk on the train rcfg
+    (Config.head_topk_train) because early-training fields are not yet
+    surface-peaked.
+    """
+    R, S = weight.shape
+    if rcfg.head_topk is None or rcfg.head_topk >= S:
+        return weight, xyz_n, z_vals
+    k = rcfg.head_topk
+    w_k, idx = jax.lax.top_k(weight, k)
+    xyz_k = jnp.take_along_axis(xyz_n, idx[..., None], axis=1)
+    z_k = jnp.take_along_axis(z_vals, idx, axis=1)
+    return w_k, xyz_k, z_k
+
+
 def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
                              state: RenderState, rays: jnp.ndarray,
                              rng: Optional[jax.Array] = None, is_train: bool = True,
@@ -382,6 +401,8 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
         fused=fused)
     weight = jax.lax.stop_gradient(weight)
+    distance_map = jax.lax.stop_gradient(jnp.sum(weight * z_vals, -1))
+    weight, xyz_n, z_vals = _aux_topk(rcfg, weight, xyz_n, z_vals)
     R, S = weight.shape
     flat = xyz_n.reshape(-1, 3)
     app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
@@ -397,7 +418,6 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     instances = jnp.where(app_mask, instances, 0.0).reshape(R, S, -1)
     instance_map = composite(weight, instances)
 
-    distance_map = jax.lax.stop_gradient(jnp.sum(weight * z_vals, -1))
     points_xyz = rays[:, 0:3] + distance_map[:, None] * rays[:, 3:6]
     return instance_map, jax.lax.stop_gradient(points_xyz)
 
@@ -414,6 +434,7 @@ def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
         fused=fused)
     weight = jax.lax.stop_gradient(weight)
+    weight, xyz_n, z_vals = _aux_topk(rcfg, weight, xyz_n, z_vals)
     R, S = weight.shape
     flat = xyz_n.reshape(-1, 3)
     app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
