@@ -8,9 +8,10 @@ inference operating point — 192^3 grid, step_ratio 0.25 -> 1324 samples/ray
 (reference: inference/render_panopli.py:104), 21 classes, slow-fast instance
 head. Uses the production inference fast path (ops/fused_grid.py):
 brick-atlas density (one 128-lane gather + fused hat-product interpolation
-per sample), two-level empty-space skipping (stride-16 coarse tests, 16 fine
-segments), occupancy-compacted bf16 corner-feature rows, weight-sorted
-top-k head compaction (k=24 appearance, k=12 semantics/instances).
+per sample), three-level empty-space skipping (stride-16 coarse tests, 16
+segments, stride-8 sub-segment tests, 16 sub-segments), occupancy-compacted
+bf16 corner-feature rows, weight-sorted top-k head compaction (k=24
+appearance, k=12 semantics/instances).
 
 Fidelity at this operating point vs dense fp32 rendering of the same field
 (4096-ray probe, PERFORMANCE.md): rgb p99 err 5.3e-3, depth p99 2.8e-4,
@@ -138,7 +139,8 @@ def main():
         cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
     rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
                                head_dtype="bfloat16",
-                               coarse_stride=16, max_segments=16)
+                               coarse_stride=16, max_segments=16,
+                               sub_stride=8, max_subsegments=16)
 
     # indoor-like analytic density field (see module docstring)
     lin = jnp.linspace(-1, 1, grid)

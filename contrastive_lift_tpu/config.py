@@ -40,6 +40,11 @@ class Config:
     late_semantic_optimization: int = 1
     use_symmetric_ce: bool = False
     probabilistic_ce_mode: str = "TTAConf"      # TTAConf|NoTTAConf|none
+    # accepted-but-inert, mirroring the reference: its trainer passes
+    # use_feature_reg to the model with the comment "this is NOT actually
+    # used" (train_panopli_tensorf.py:59), and lambda_instances appears only
+    # in panopli_paper.yaml:30 (the instance losses are added unweighted).
+    # Kept so reference config files load unchanged.
     use_feature_regularization: bool = False
     lambda_feat: float = 0.04
     ce_alpha: float = 0.85
@@ -134,6 +139,12 @@ class Config:
     # measured error on a surface field is rgb p99 ~1e-3 (PERFORMANCE.md).
     coarse_stride: int = 16
     max_segments: int = 24
+    # third ESS level (renderer sub_stride/max_subsegments): sub-segment
+    # tests against the one-voxel-margin occupancy; 0 disables. At 8/24 the
+    # measured fidelity on a surface field equals the two-level path
+    # (PERFORMANCE.md).
+    sub_stride: int = 8
+    max_subsegments: int = 24
     # opt-in train-time top-k head compaction (renderer _aux_topk /
     # render_rays): heads evaluate only the k highest-weight samples per ray.
     # Exact once the field is surface-peaked (same contract as inference

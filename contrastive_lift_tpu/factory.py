@@ -54,6 +54,8 @@ def make_render_config(cfg: Config, scene_bounds, grid_dim, mcfg: tf.TensoRFConf
         head_dtype="bfloat16" if cfg.precision in ("bf16", "bfloat16") else "float32",
         coarse_stride=cfg.coarse_stride or None,
         max_segments=cfg.max_segments,
+        sub_stride=getattr(cfg, "sub_stride", 0) or None,
+        max_subsegments=getattr(cfg, "max_subsegments", 24),
     )
 
 

@@ -48,6 +48,10 @@ class FusedGrids(NamedTuple):
     coarse_occ: Optional[jnp.ndarray] = None      # [Cx*Cy*Cz, 8] f32 (raw max)
     coarse_dim: Optional[Tuple[int, int, int]] = None
     supervoxel: int = 4
+    # mid-level occupancy for the third ESS level: supervoxel max with a
+    # one-voxel margin instead of a one-BLOCK dilation — conservative for
+    # sub-segment midpoint tests while smearing surfaces by only ~1 voxel
+    coarse_occ_tight: Optional[jnp.ndarray] = None  # [Cx*Cy*Cz, 8] f32
     # -- brick atlas: the fine-density fast path ---------------------------
     # v5e random row-gather throughput cliffs with table ROW COUNT: ~260-327M
     # rows/s for <=110k-row tables vs ~66-90M for multi-million-row tables
@@ -151,6 +155,23 @@ def _build_coarse_occ(dense: jnp.ndarray, supervoxel: int):
     return jnp.repeat(dilated.reshape(-1, 1), 8, axis=1), cdim
 
 
+def _build_tight_occ(dense: jnp.ndarray, supervoxel: int):
+    """Max raw density per supervoxel block with a ONE-VOXEL margin (window
+    sv+2, stride sv) — the mid-level occupancy for sub-segment tests: a test
+    point whose sub-segment stays within +-1 voxel of its own supervoxel is
+    covered conservatively, with ~sv-fold less dilation smear than the
+    block-dilated grid (fewer false-occupied sub-segments)."""
+    sv = supervoxel
+    cdims = tuple(-(-g // sv) for g in dense.shape)
+    pads = [(1, sv * c + 2 - g - 1) for c, g in zip(cdims, dense.shape)]
+    padded = jnp.pad(dense, pads, constant_values=-jnp.inf)
+    tight = jax.lax.reduce_window(
+        padded, -jnp.inf, jax.lax.max,
+        window_dimensions=(sv + 2,) * 3, window_strides=(sv,) * 3,
+        padding="VALID")
+    return jnp.repeat(tight.reshape(-1, 1), 8, axis=1)
+
+
 def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                       corner_features=(), with_occupancy: bool = False,
                       supervoxel: int = 4,
@@ -184,13 +205,14 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                 feature_cells[name] = _cell_corner_feature(grid, grid_dim)
             else:
                 features[name] = grid
-    coarse_occ, coarse_dim = (None, None)
+    coarse_occ, coarse_dim, occ_tight = (None, None, None)
     if with_occupancy:
         coarse_occ, coarse_dim = _build_coarse_occ(dense, supervoxel)
+        occ_tight = _build_tight_occ(dense, supervoxel)
     atlas = _build_brick_atlas(dense, atlas_dtype) if with_atlas else None
     fused = FusedGrids(_cell_corner_grid(dense), grid_dim, features,
                        feature_cells, coarse_occ, coarse_dim, supervoxel,
-                       brick_atlas=atlas)
+                       coarse_occ_tight=occ_tight, brick_atlas=atlas)
     if compact_capacity is not None:
         if occ_raw_thres is None or coarse_occ is None:
             raise ValueError("compaction needs with_occupancy + occ_raw_thres")
@@ -377,8 +399,12 @@ def build_density_only(params: dict) -> FusedGrids:
     return FusedGrids(_cell_corner_grid(dense), dense.shape, {}, {})
 
 
-def sample_coarse_occ(fused: FusedGrids, xyz: jnp.ndarray) -> jnp.ndarray:
-    """Raw-density upper bound at [P,3] coords in [-1,1] (nearest supervoxel)."""
+def sample_coarse_occ(fused: FusedGrids, xyz: jnp.ndarray,
+                      tight: bool = False) -> jnp.ndarray:
+    """Raw-density upper bound at [P,3] coords in [-1,1] (nearest supervoxel).
+
+    ``tight`` samples the one-voxel-margin grid (sub-segment tests) instead
+    of the block-dilated one (segment tests)."""
     gx, gy, gz = fused.grid_dim
     cx, cy, cz = fused.coarse_dim
     sv = fused.supervoxel
@@ -387,7 +413,8 @@ def sample_coarse_occ(fused: FusedGrids, xyz: jnp.ndarray) -> jnp.ndarray:
     i = jnp.clip(p.astype(jnp.int32) // sv, 0,
                  jnp.asarray((cx - 1, cy - 1, cz - 1), jnp.int32))
     flat = (i[:, 0] * cy + i[:, 1]) * cz + i[:, 2]
-    return jnp.take(fused.coarse_occ, flat, axis=0)[:, 0]
+    table = fused.coarse_occ_tight if tight else fused.coarse_occ
+    return jnp.take(table, flat, axis=0)[:, 0]
 
 
 def _cell_coords(grid_dim, xyz: jnp.ndarray):

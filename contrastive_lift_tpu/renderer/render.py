@@ -67,6 +67,13 @@ class RenderConfig:
     coarse_stride: Optional[int] = None
     max_segments: int = 48
     occ_alpha_thres: float = 1e-5
+    # third ESS level: within the chosen coarse segments, test sub-segments
+    # of ``sub_stride`` samples against the one-voxel-margin occupancy
+    # (coarse_occ_tight) and keep only the nearest ``max_subsegments``
+    # occupied ones. Same conservative contract as level two; cuts the fine
+    # density budget ~2.5x on surface fields. None = off.
+    sub_stride: Optional[int] = None
+    max_subsegments: int = 24
 
 
 class RenderState(NamedTuple):
@@ -195,10 +202,44 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
     top_scores, seg_idx = jax.lax.top_k(score, k_seg)       # [R, k_seg]
     seg_valid = top_scores > 0
 
-    # fine samples inside the selected segments
-    offs = jnp.arange(cs, dtype=jnp.float32)
-    fine_steps = seg_idx[..., None].astype(jnp.float32) * cs + offs[None, None, :]
-    sample_valid = (fine_steps < S) & seg_valid[..., None]
+    use_sub = (rcfg.sub_stride is not None and rcfg.sub_stride < cs
+               and fused.coarse_occ_tight is not None)
+    if use_sub:
+        # third level: sub-segment midpoint tests against the one-voxel-
+        # margin occupancy; conservative when the sub-segment half-length
+        # stays under one voxel (sub_stride*step <= 2 voxels)
+        sub = rcfg.sub_stride
+        n_sub = cs // sub
+        cand = k_seg * n_sub
+        sub_j = jnp.arange(n_sub, dtype=jnp.float32)
+        sub_steps = (seg_idx[..., None].astype(jnp.float32) * cs
+                     + sub_j[None, None, :] * sub + 0.5 * sub)  # [R,k,n_sub]
+        sub_steps = sub_steps.reshape(R, cand)
+        z_s = t_min[:, None] + sub_steps * state.step_size
+        xyz_s = rays_o[:, None, :] + rays_d[:, None, :] * z_s[..., None]
+        xyz_sn = normalize_coordinates(state, xyz_s).reshape(-1, 3)
+        raw_up2 = sample_coarse_occ(fused, xyz_sn, tight=True).reshape(R, cand)
+        sig2 = jax.nn.softplus(raw_up2 + mcfg.splus_density_shift)
+        alpha2 = 1.0 - jnp.exp(-sig2 * state.step_size * rcfg.distance_scale)
+        occ2 = ((alpha2 > rcfg.occ_alpha_thres)
+                & jnp.repeat(seg_valid, n_sub, axis=1)
+                & (sub_steps < S))
+        # candidates are already time-ordered (segments ascend in t, subs
+        # ascend within a segment), so rank = position
+        score2 = occ2.astype(jnp.float32) * (cand - jnp.arange(cand, dtype=jnp.float32))
+        k_sub = min(rcfg.max_subsegments, cand)
+        top2, sub_idx = jax.lax.top_k(score2, k_sub)        # [R, k_sub]
+        sub_valid = top2 > 0
+        sub_start = jnp.take_along_axis(
+            sub_steps - 0.5 * sub, sub_idx.astype(jnp.int32), axis=1)
+        offs = jnp.arange(sub, dtype=jnp.float32)
+        fine_steps = sub_start[..., None] + offs[None, None, :]
+        sample_valid = (fine_steps < S) & sub_valid[..., None]
+    else:
+        # fine samples inside the selected segments
+        offs = jnp.arange(cs, dtype=jnp.float32)
+        fine_steps = seg_idx[..., None].astype(jnp.float32) * cs + offs[None, None, :]
+        sample_valid = (fine_steps < S) & seg_valid[..., None]
     z_vals = (t_min[:, None, None] + fine_steps * state.step_size).reshape(R, -1)
     valid = sample_valid.reshape(R, -1)
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]

@@ -147,3 +147,49 @@ def test_render_grids_driver_buckets():
     assert fused.slot_map is not None
     assert "appearance" in fused.compact_feature_cells
     assert not fused.feature_cells  # full corner tables dropped
+
+
+def test_three_level_matches_two_level():
+    """Third ESS level (sub-segment tests vs the one-voxel-margin occupancy)
+    reproduces the two-level maps when the sub-segment budget covers every
+    occupied sub-segment (same conservative contract)."""
+    mcfg, params, rcfg0, state_r = _model()
+    lin = np.linspace(-1, 1, 33, dtype=np.float32)
+    slab = (np.abs(lin) < 0.3).astype(np.float32)
+    dp = [np.array(p) for p in params["density"]["planes"]]
+    for i in range(3):
+        dp[i][0] = 8.0 * slab[None, :]
+    params = dict(params)
+    params["density"] = {"planes": tuple(jnp.asarray(p) for p in dp),
+                         "lines": params["density"]["lines"]}
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True)
+    assert fused.coarse_occ_tight is not None
+
+    rng = np.random.default_rng(4)
+    o = rng.uniform(-0.2, 0.2, (64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((64, 1), 0.01, np.float32),
+         np.full((64, 1), 3.0, np.float32)], -1))
+
+    two = dataclasses.replace(rcfg0, coarse_stride=8, max_segments=16,
+                              head_topk=16)
+    three = dataclasses.replace(two, sub_stride=4,
+                                max_subsegments=16 * 2)  # full budget
+    out2 = R.render_rays(params, mcfg, two, state_r, rays, None, False,
+                         fused=fused)
+    out3 = R.render_rays(params, mcfg, three, state_r, rays, None, False,
+                         fused=fused)
+    for key in ("rgb", "depth", "opacity", "semantics", "instances"):
+        np.testing.assert_allclose(np.asarray(out3[key]),
+                                   np.asarray(out2[key]), atol=5e-3,
+                                   err_msg=key)
+
+    # a tighter sub-budget still renders the surfaces (bounded drift)
+    tight = dataclasses.replace(two, sub_stride=4, max_subsegments=12)
+    out_t = R.render_rays(params, mcfg, tight, state_r, rays, None, False,
+                          fused=fused)
+    np.testing.assert_allclose(np.asarray(out_t["opacity"]),
+                               np.asarray(out2["opacity"]), atol=0.1)
