@@ -14,8 +14,9 @@ bf16 corner-feature rows, weight-sorted top-k head compaction (k=24
 appearance, k=12 semantics/instances).
 
 Fidelity at this operating point vs dense fp32 rendering of the same field
-(4096-ray probe, PERFORMANCE.md): rgb p99 err 5.3e-3, depth p99 2.8e-4,
-semantic argmax mismatch 0.00%, opacity max err 0.05.
+(4096-ray probe, PERFORMANCE.md): rgb/opacity p99 err <= 6e-3, semantic
+argmax mismatch 0.00%; ~0.05% of rays (grazing-incidence shell hits) exceed
+the segment budget and truncate (opacity err up to ~0.5 on those rays).
 
 Scene: an indoor-like analytic field on the 192^3 grid — two nested sphere
 shells (r=0.35, 0.65, 1.5 voxels thick) plus a floor disk; cameras inside the
