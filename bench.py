@@ -13,10 +13,13 @@ segments, stride-8 sub-segment tests, 16 sub-segments), occupancy-compacted
 bf16 corner-feature rows, weight-sorted top-k head compaction (k=24
 appearance, k=12 semantics/instances).
 
-Fidelity at this operating point vs dense fp32 rendering of the same field
-(4096-ray probe, PERFORMANCE.md): rgb/opacity p99 err <= 6e-3, semantic
-argmax mismatch 0.00%; ~0.05% of rays (grazing-incidence shell hits) exceed
-the segment budget and truncate (opacity err up to ~0.5 on those rays).
+Budgets are scene-calibrated (renderer.calibrate_budgets): a probe density
+pass finds the deepest nearest-first segment rank still carrying compositing
+weight and sizes max_segments/max_subsegments at its 99.9th percentile —
+this field calibrates to (20, 24). Fidelity vs dense fp32 rendering of the
+same field (4096-ray probe, PERFORMANCE.md): rgb p99 err 5.2e-3, opacity
+max err 1.4e-3, semantic argmax mismatch 0.00%, no truncation tail (0 rays
+with opacity err > 0.05).
 
 Scene: an indoor-like analytic field on the 192^3 grid — two nested sphere
 shells (r=0.35, 0.65, 1.5 voxels thick) plus a floor disk; cameras inside the
@@ -140,8 +143,8 @@ def main():
         cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
     rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
                                head_dtype="bfloat16",
-                               coarse_stride=16, max_segments=16,
-                               sub_stride=8, max_subsegments=16)
+                               coarse_stride=16, max_segments=32,
+                               sub_stride=8, max_subsegments=48)
 
     # indoor-like analytic density field (see module docstring)
     lin = jnp.linspace(-1, 1, grid)
@@ -164,6 +167,11 @@ def main():
     fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
                                feature_dtype=jnp.bfloat16,
                                dense_override=dense)
+    # scene-adaptive segment budgets, exactly as inference/render.py does:
+    # size max_segments/max_subsegments at the 99.9th-percentile occupied
+    # counts of a ray probe (kills budget truncation on dense scenes, speeds
+    # up sparse ones)
+    rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused)
     fn = jax.jit(lambda p, f, r: R.render_rays(p, mcfg, rcfg, state_r, r,
                                                None, False, fused=f))
     out = fn(params, fused, rays)

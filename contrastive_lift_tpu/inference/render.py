@@ -82,16 +82,25 @@ def _build_render_grids(params, mcfg, rcfg, state_r):
 
 def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   chunk: int = 8192, progress: bool = False,
-                  use_fused: bool = True, mesh=None, data_axis: str = "data"):
+                  use_fused: bool = True, mesh=None, data_axis: str = "data",
+                  auto_budget: bool = True):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
     Builds the fused dense grids once (parameters are fixed at inference) so
-    every chunk renders on the one-gather-per-sample fast path. With ``mesh``
-    (a 1-axis jax.sharding.Mesh) each ray chunk is sharded over the data axis
-    and parameters are replicated — the multi-chip render path
-    (reference DDP analog; chunk must divide the mesh size).
+    every chunk renders on the one-gather-per-sample fast path, and — with
+    ``auto_budget`` — calibrates the empty-space-skipping segment budgets on
+    a probe of the first frame's rays (renderer.calibrate_budgets), so dense
+    scenes don't truncate and sparse scenes render faster than the
+    configured defaults. With ``mesh`` (a 1-axis jax.sharding.Mesh) each ray
+    chunk is sharded over the data axis and parameters are replicated — the
+    multi-chip render path (reference DDP analog; chunk must divide the mesh
+    size).
     """
     fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
+    if (auto_budget and fused is not None and frames
+            and rcfg.coarse_stride is not None and fused.coarse_occ is not None):
+        probe = frames[0].rays[::max(1, len(frames[0].rays) // 4096)]
+        rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, probe, fused)
     fn = _jitted_render(mcfg, rcfg)
     if mesh is not None:
         from ..parallel import mesh as pmesh

@@ -263,6 +263,61 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
     return xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_weight
 
 
+def _needed_budget(weight: jnp.ndarray, group: int, eps: float) -> jnp.ndarray:
+    """Per-ray smallest prefix of (nearest-first) segment ranks carrying all
+    weight above ``eps``: weight [R, K*group] -> [R] rank counts."""
+    w_rank = weight.reshape(weight.shape[0], -1, group).sum(-1)   # [R, K]
+    ranks = jnp.arange(1, w_rank.shape[1] + 1)
+    return jnp.max(jnp.where(w_rank > eps, ranks, 0), axis=1)
+
+
+def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
+                      probe_rays, fused: FusedGrids,
+                      quantile: float = 0.999, margin: int = 2,
+                      round_to: int = 4,
+                      weight_eps: float = 1e-3) -> RenderConfig:
+    """Transmittance-aware scene-adaptive segment budgets.
+
+    Occupied-segment COUNTS overestimate the needed budget badly (on a shell
+    field the p99 ray crosses ~70 occupied segments, but occlusion makes all
+    but the first ~15 carry no compositing weight). Instead, render the
+    probe rays' DENSITY at full budget (no heads — cheap) and take, per ray,
+    the deepest nearest-first segment rank whose compositing weight exceeds
+    ``weight_eps``; size ``max_segments`` at the ``quantile`` of that (plus
+    ``margin``, rounded). Repeat at the chosen segment budget for the
+    sub-segment level. Truncation error on a calibrated scene is then
+    bounded by the skipped weight (< eps per segment) outside the quantile
+    tail. May shrink OR grow the configured defaults; two probe compiles
+    per scene. TPU-perf design — the reference samples densely and needs no
+    budgets."""
+    from dataclasses import replace
+    if rcfg.coarse_stride is None or fused.coarse_occ is None:
+        return rcfg
+    probe = jnp.asarray(probe_rays, jnp.float32)
+    cs = rcfg.coarse_stride
+    S_c = -(-rcfg.n_samples // cs)
+
+    def pick(needed, cap):
+        need = int(np.quantile(np.asarray(needed), quantile)) + margin
+        need = -(-need // round_to) * round_to
+        return max(8, min(cap, need))
+
+    full = replace(rcfg, max_segments=S_c, sub_stride=None)
+    w = jax.jit(lambda r: _two_level_density(
+        mcfg, full, state, r, fused)[6])(probe)
+    out = replace(rcfg, max_segments=pick(_needed_budget(w, cs, weight_eps),
+                                          S_c))
+    if rcfg.sub_stride is not None and fused.coarse_occ_tight is not None:
+        sub = rcfg.sub_stride
+        cand = out.max_segments * (cs // sub)
+        full2 = replace(out, max_subsegments=cand)
+        w2 = jax.jit(lambda r: _two_level_density(
+            mcfg, full2, state, r, fused)[6])(probe)
+        out = replace(out, max_subsegments=pick(
+            _needed_budget(w2, sub, weight_eps), cand))
+    return out
+
+
 _BRANCH_DIMS = {"appearance": "dim_appearance", "semantic": "dim_semantics",
                 "instance": "dim_instances"}
 

@@ -193,3 +193,45 @@ def test_three_level_matches_two_level():
                           fused=fused)
     np.testing.assert_allclose(np.asarray(out_t["opacity"]),
                                np.asarray(out2["opacity"]), atol=0.1)
+
+
+def test_calibrate_budgets():
+    """Auto budgets: a sparse slab needs few segments (budget shrinks from
+    the config default); the calibrated render matches the full-budget one."""
+    mcfg, params, rcfg0, state_r = _model()
+    lin = np.linspace(-1, 1, 33, dtype=np.float32)
+    slab = (np.abs(lin) < 0.15).astype(np.float32)
+    dp = [np.zeros_like(np.array(p)) for p in params["density"]["planes"]]
+    dl = [np.zeros_like(np.array(l)) for l in params["density"]["lines"]]
+    dp[0][0] = 9.0 * slab[None, :]
+    dl[0][0] = 1.0
+    params = dict(params)
+    params["density"] = {"planes": tuple(jnp.asarray(p) for p in dp),
+                         "lines": tuple(jnp.asarray(l) for l in dl)}
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True)
+
+    rng = np.random.default_rng(5)
+    o = rng.uniform(-0.9, -0.6, (128, 1))
+    rays = np.zeros((128, 8), np.float32)
+    rays[:, 0] = o[:, 0]          # origins left of the slab
+    rays[:, 3] = 1.0              # marching +x through it
+    rays[:, 1] = rng.uniform(-0.5, 0.5, 128)
+    rays[:, 2] = rng.uniform(-0.5, 0.5, 128)
+    rays[:, 6], rays[:, 7] = 0.01, 3.0
+
+    base = dataclasses.replace(rcfg0, coarse_stride=8, max_segments=32,
+                               sub_stride=4, max_subsegments=64, head_topk=16)
+    cal = R.calibrate_budgets(mcfg, base, state_r, rays, fused)
+    # one thin slab: the x-marching rays cross few occupied segments
+    assert cal.max_segments < base.max_segments
+    assert cal.max_subsegments <= base.max_subsegments
+
+    out_base = R.render_rays(params, mcfg, base, state_r, jnp.asarray(rays),
+                             None, False, fused=fused)
+    out_cal = R.render_rays(params, mcfg, cal, state_r, jnp.asarray(rays),
+                            None, False, fused=fused)
+    np.testing.assert_allclose(np.asarray(out_cal["opacity"]),
+                               np.asarray(out_base["opacity"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_cal["rgb"]),
+                               np.asarray(out_base["rgb"]), atol=1e-3)
