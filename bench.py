@@ -16,7 +16,7 @@ appearance, k=12 semantics/instances).
 Budgets are scene-calibrated (renderer.calibrate_budgets): a probe density
 pass finds the deepest nearest-first segment rank still carrying compositing
 weight and sizes max_segments/max_subsegments at its 99.9th percentile —
-this field calibrates to (20, 24). Fidelity vs dense fp32 rendering of the
+this field calibrates to ~(20, 28). Fidelity vs dense fp32 rendering of the
 same field (4096-ray probe, PERFORMANCE.md): rgb p99 err 5.2e-3, opacity
 max err 1.4e-3, semantic argmax mismatch 0.00%, no truncation tail (0 rays
 with opacity err > 0.05).

@@ -156,18 +156,23 @@ def _build_coarse_occ(dense: jnp.ndarray, supervoxel: int):
 
 
 def _build_tight_occ(dense: jnp.ndarray, supervoxel: int):
-    """Max raw density per supervoxel block with a ONE-VOXEL margin (window
-    sv+2, stride sv) — the mid-level occupancy for sub-segment tests: a test
-    point whose sub-segment stays within +-1 voxel of its own supervoxel is
-    covered conservatively, with ~sv-fold less dilation smear than the
-    block-dilated grid (fewer false-occupied sub-segments)."""
+    """Max raw density per supervoxel block with a TWO-VOXEL margin (window
+    sv+4, stride sv) — the mid-level occupancy for sub-segment tests.
+
+    Strictly conservative for a test point whose sub-segment spans up to
+    +-2 voxels around its own supervoxel INCLUDING the interpolation corners
+    of the extreme sample (a sample 2-eps voxels outside the block reads
+    corner voxels up to 2 voxels outside, which the window covers). That
+    admits sub_stride * step_ratio <= 4 (e.g. stride-8 subs at both the 0.25
+    inference and 0.5 training step ratios), while smearing surfaces by only
+    ~2 voxels instead of the block-dilated grid's ~sv."""
     sv = supervoxel
     cdims = tuple(-(-g // sv) for g in dense.shape)
-    pads = [(1, sv * c + 2 - g - 1) for c, g in zip(cdims, dense.shape)]
+    pads = [(2, sv * c + 4 - g - 2) for c, g in zip(cdims, dense.shape)]
     padded = jnp.pad(dense, pads, constant_values=-jnp.inf)
     tight = jax.lax.reduce_window(
         padded, -jnp.inf, jax.lax.max,
-        window_dimensions=(sv + 2,) * 3, window_strides=(sv,) * 3,
+        window_dimensions=(sv + 4,) * 3, window_strides=(sv,) * 3,
         padding="VALID")
     return jnp.repeat(tight.reshape(-1, 1), 8, axis=1)
 
