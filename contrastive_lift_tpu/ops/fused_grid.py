@@ -49,8 +49,9 @@ class FusedGrids(NamedTuple):
     coarse_dim: Optional[Tuple[int, int, int]] = None
     supervoxel: int = 4
     # mid-level occupancy for the third ESS level: supervoxel max with a
-    # one-voxel margin instead of a one-BLOCK dilation — conservative for
-    # sub-segment midpoint tests while smearing surfaces by only ~1 voxel
+    # two-voxel margin instead of a one-BLOCK dilation — conservative for
+    # sub-segment midpoint tests (incl. interpolation corners) while smearing
+    # surfaces by only ~2 voxels (see _build_tight_occ)
     coarse_occ_tight: Optional[jnp.ndarray] = None  # [Cx*Cy*Cz, 8] f32
     # -- brick atlas: the fine-density fast path ---------------------------
     # v5e random row-gather throughput cliffs with table ROW COUNT: ~260-327M
@@ -396,12 +397,18 @@ def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False):
         with_atlas=True))
 
 
-def build_density_only(params: dict) -> FusedGrids:
+def build_density_only(params: dict, with_atlas: bool = False) -> FusedGrids:
     """Density-only fused grids (for the training passes whose density is
     stop-gradient: instance + segment renders). Cheap enough to rebuild every
-    step (~10-40 ms of einsums + slicing)."""
+    step (~10-40 ms of einsums + slicing). ``with_atlas`` is OFF here:
+    measured on v5e, the per-step atlas build (125 lane-strided slices =
+    Mosaic relayouts) costs more than the faster gathers save at training
+    sample counts (full step 0.85 -> 0.80 steps/s); the atlas pays off only
+    when amortized across an inference render."""
     dense = build_dense_density(params)
-    return FusedGrids(_cell_corner_grid(dense), dense.shape, {}, {})
+    atlas = _build_brick_atlas(dense) if with_atlas else None
+    return FusedGrids(_cell_corner_grid(dense), dense.shape, {}, {},
+                      brick_atlas=atlas)
 
 
 def sample_coarse_occ(fused: FusedGrids, xyz: jnp.ndarray,

@@ -153,7 +153,10 @@ def _density_weights(params, mcfg, rcfg, state, rays, rng, is_train,
     flat = xyz_n.reshape(-1, 3)
 
     def density_fn(p, f):
-        if f is not None:
+        if f is not None and f.brick_atlas is not None:
+            raw = sample_density_brick(f, flat, mcfg.splus_density_shift)
+            sigma = jax.nn.softplus(raw).reshape(xyz.shape[:2])
+        elif f is not None:
             raw = sample_density_fused(f, flat, mcfg.splus_density_shift)
             sigma = jax.nn.softplus(raw).reshape(xyz.shape[:2])
         else:
