@@ -210,8 +210,13 @@ def map_panoptic_outputs(scene_dir, dumps_dir=None,
     inst_to_sem: Dict[int, int] = {}
     inst_to_sem_notta: Dict[int, int] = {}
     for name in frame_names:
-        dump_path = next(p for ext in (".ptz", ".pt", ".npz")
-                         for p in [dumps / f"{name}{ext}"] if p.exists())
+        dump_path = next((p for ext in (".ptz", ".pt", ".npz")
+                          for p in [dumps / f"{name}{ext}"] if p.exists()),
+                         None)
+        if dump_path is None:
+            raise FileNotFoundError(
+                f"no panoptic dump for frame '{name}' under {dumps} "
+                "(expected .ptz/.pt/.npz)")
         data = load_panoptic_dump(dump_path)
 
         sem, inst, invalid, ctr, inst_to_sem = convert_panoptic_mask(

@@ -99,7 +99,11 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
     if (auto_budget and fused is not None and frames
             and rcfg.coarse_stride is not None and fused.coarse_occ is not None):
-        probe = frames[0].rays[::max(1, len(frames[0].rays) // 4096)]
+        # probe across up to 8 frames so budgets cover every viewpoint
+        sel = frames[::max(1, len(frames) // 8)][:8]
+        per = max(1, 4096 // len(sel))
+        probe = np.concatenate(
+            [f.rays[::max(1, len(f.rays) // per)][:per] for f in sel])
         rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, probe, fused)
     fn = _jitted_render(mcfg, rcfg)
     if mesh is not None:

@@ -1,0 +1,105 @@
+"""Reference-scale end-to-end run on the real TPU: full lifecycle + PQ.
+
+Trains the flagship slow-fast configuration on the synthetic multi-object
+scene at reference-like scale — 2048-ray batches, 64->128 grid upscales,
+bbox reset, all three phase gates at the reference-relative schedule — then
+renders the test split at inference settings (2x samples, fast path),
+clusters the embeddings, and reports PQ^scene. Writes per-epoch metrics and
+the final summary as JSON lines to stdout (tee into RESULTS).
+
+Usage: python tools/run_reference_scale_e2e.py [--epochs 8] [--out DIR]
+"""
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--image_dim", type=int, nargs=2, default=[48, 64])
+    parser.add_argument("--num_train", type=int, default=24)
+    args = parser.parse_args()
+
+    from contrastive_lift_tpu.config import Config
+    from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+    from contrastive_lift_tpu.inference.cluster import (
+        cluster, create_instances_from_semantics)
+    from contrastive_lift_tpu.inference.render import render_frames
+    from contrastive_lift_tpu.metrics.panoptic_quality import panoptic_quality
+    from contrastive_lift_tpu.train.loop import Trainer
+
+    scene = make_synthetic_scene(num_spheres=5, num_train=args.num_train,
+                                 num_val=4, image_dim=tuple(args.image_dim),
+                                 num_thing_classes=1, seed=7)
+    cfg = Config(
+        # flagship model (configs/contrastive_lift.yaml)
+        instance_loss_mode="slow_fast", use_DINO_style=True, use_proj=False,
+        use_delta=False, temperature=100.0, max_instances=3,
+        use_mlp_for_semantics=True, use_mlp_for_instances=True,
+        pe_sem=0, pe_ins=0, semantic_weight_mode="softmax",
+        probabilistic_ce_mode="NoTTAConf",
+        # reference-scale batching / lifecycle
+        batch_size=2048, chunk=4096, min_grid_dim=64, max_grid_dim=128,
+        grid_upscale_epochs=[1, 2], bbox_aabb_reset_epochs=[1, 2],
+        max_rays_instances=1024, max_labels_per_image=16,
+        batch_size_segments=16, max_rays_segments=512, chunk_segment=2048,
+        late_semantic_optimization=0, instance_optimization_epoch=3,
+        segment_optimization_epoch=6, max_epoch=args.epochs,
+        image_dim=tuple(args.image_dim), seed=0, lr=1.5e-3,
+        decay_step=[6, 7], save_every_n_train_steps=0, precision="bf16",
+        weight_class_0=1.0, lambda_semantics=1.0, lambda_dist_reg=0.0,
+    ).resolve_epochs()
+
+    out_dir = args.out or tempfile.mkdtemp(prefix="refscale_")
+    trainer = Trainer(cfg, scene, out_dir, log_every=1000)
+    t0 = time.time()
+    for epoch in range(cfg.max_epoch):
+        m = trainer.train_epoch(epoch)
+        val = trainer.validate(epoch)
+        print(json.dumps({"epoch": epoch, "grid": trainer.grid_dim[0],
+                          "epoch_seconds": round(m.get("epoch_seconds", 0), 1),
+                          **{k: round(float(v), 4) for k, v in val.items()}}),
+              flush=True)
+
+    per_frame = render_frames(trainer.state.params, trainer.mcfg,
+                              trainer.rcfg, trainer.state_r, scene.val_frames,
+                              chunk=cfg.chunk)
+    sem_cat = np.concatenate([f["semantics"] for f in per_frame])
+    inst_cat = np.concatenate([f["instances"] for f in per_frame])
+    fast = inst_cat[:, :cfg.max_instances]
+    thing_features = create_instances_from_semantics(
+        fast, sem_cat, scene.segmentation.fg_classes)
+    onehot = cluster(thing_features, bandwidth=0.15,
+                     num_images=len(scene.val_frames))
+    preds, targets = [], []
+    for i, frame in enumerate(scene.val_frames):
+        sem_pred = per_frame[i]["semantics"].argmax(-1)
+        inst_pred = np.asarray(onehot[i]).argmax(-1)
+        preds.append(np.stack([sem_pred, inst_pred], -1))
+        targets.append(np.stack([frame.gt_semantics, frame.gt_instances], -1))
+    pq, sq, rq = panoptic_quality(
+        np.concatenate(preds), np.concatenate(targets),
+        scene.things_filtered or set(scene.segmentation.fg_classes),
+        scene.stuff_filtered or {0},
+        allow_unknown_preds_category=True)
+    print(json.dumps({
+        "final": True, "wall_minutes": round((time.time() - t0) / 60, 1),
+        "pq_scene": round(float(pq), 4), "sq": round(float(sq), 4),
+        "rq": round(float(rq), 4),
+        "num_found": int(len(np.unique(np.concatenate(
+            [np.asarray(onehot[i]).argmax(-1)
+             for i in range(len(scene.val_frames))])))),
+        "out_dir": out_dir}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
