@@ -4,8 +4,17 @@ Trains the flagship slow-fast configuration on the synthetic multi-object
 scene at reference-like scale — 2048-ray batches, 64->128 grid upscales,
 bbox reset, all three phase gates at the reference-relative schedule — then
 renders the test split at inference settings (2x samples, fast path),
-clusters the embeddings, and reports PQ^scene. Writes per-epoch metrics and
-the final summary as JSON lines to stdout (tee into RESULTS).
+clusters the embeddings, and reports PQ^scene — both raw-vs-GT and with the
+reference's validation-time label masking (train_panopli_tensorf.py:375).
+Writes per-epoch metrics and the final summary as JSON lines.
+
+Expectation management: at these short budgets (~360-1400 steps vs the
+reference's ~100k) the raw semantics plateau on the synthetic fixture (its
+x40 checker texture aliases at 48x64, capping floor geometry around PSNR
+17), so raw pq_scene stays low while the masked metrics climb — the run
+demonstrates the full LIFECYCLE (upscales, bbox reset, phase gates, fast
+inference, clustering) at reference batch sizes on one chip, not converged
+paper-level accuracy.
 
 Usage: python tools/run_reference_scale_e2e.py [--epochs 8] [--out DIR]
 """
@@ -80,21 +89,34 @@ def main():
         fast, sem_cat, scene.segmentation.fg_classes)
     onehot = cluster(thing_features, bandwidth=0.15,
                      num_images=len(scene.val_frames))
-    preds, targets = [], []
+    preds, preds_masked, targets = [], [], []
     for i, frame in enumerate(scene.val_frames):
         sem_pred = per_frame[i]["semantics"].argmax(-1)
         inst_pred = np.asarray(onehot[i]).argmax(-1)
-        preds.append(np.stack([sem_pred, inst_pred], -1))
-        targets.append(np.stack([frame.gt_semantics, frame.gt_instances], -1))
+        # evaluate where GT is defined: the synthetic fixture marks rays that
+        # miss all geometry invalid (no supervision, no GT class)
+        m = frame.mask
+        preds.append(np.stack([sem_pred[m], inst_pred[m]], -1))
+        # reference-faithful variant: predictions on pseudo-label-void pixels
+        # forced to void (the masking the reference applies at validation,
+        # train_panopli_tensorf.py:375)
+        sem_m = np.where(frame.semantics == 0, 0, sem_pred)
+        preds_masked.append(np.stack([sem_m[m], inst_pred[m]], -1))
+        targets.append(np.stack([frame.gt_semantics[m],
+                                 frame.gt_instances[m]], -1))
+    things = scene.things_filtered or set(scene.segmentation.fg_classes)
+    stuffs = scene.stuff_filtered or {0}
     pq, sq, rq = panoptic_quality(
-        np.concatenate(preds), np.concatenate(targets),
-        scene.things_filtered or set(scene.segmentation.fg_classes),
-        scene.stuff_filtered or {0},
+        np.concatenate(preds), np.concatenate(targets), things, stuffs,
+        allow_unknown_preds_category=True)
+    pq_m, sq_m, rq_m = panoptic_quality(
+        np.concatenate(preds_masked), np.concatenate(targets), things, stuffs,
         allow_unknown_preds_category=True)
     print(json.dumps({
         "final": True, "wall_minutes": round((time.time() - t0) / 60, 1),
         "pq_scene": round(float(pq), 4), "sq": round(float(sq), 4),
         "rq": round(float(rq), 4),
+        "pq_scene_masked": round(float(pq_m), 4),
         "num_found": int(len(np.unique(np.concatenate(
             [np.asarray(onehot[i]).argmax(-1)
              for i in range(len(scene.val_frames))])))),
