@@ -8,10 +8,11 @@ inference operating point — 192^3 grid, step_ratio 0.25 -> 1324 samples/ray
 (reference: inference/render_panopli.py:104), 21 classes, slow-fast instance
 head. Uses the production inference fast path (ops/fused_grid.py):
 brick-atlas density (one 128-lane gather + fused hat-product interpolation
-per sample), three-level empty-space skipping (stride-16 coarse tests, 16
-segments, stride-8 sub-segment tests, 16 sub-segments), occupancy-compacted
-bf16 corner-feature rows, weight-sorted top-k head compaction (k=24
-appearance, k=12 semantics/instances).
+per sample), three-level empty-space skipping (stride-16 coarse tests,
+stride-8 sub-segment tests; budgets start at 32 segments / 48 sub-segments
+and are then scene-calibrated down), occupancy-compacted bf16
+corner-feature rows, weight-sorted top-k head compaction (k=24 appearance,
+k=12 semantics/instances).
 
 Budgets are scene-calibrated (renderer.calibrate_budgets): a probe density
 pass finds the deepest nearest-first segment rank still carrying compositing
@@ -84,25 +85,31 @@ def bench_train():
     seg_sampler = SegmentBundleSampler(scene.train_frames,
                                        cfg.max_rays_segments)
 
+    all_gates = TrainGates(semantics_on=True, instances_on=True,
+                           segments_on=True)
     phases = [
-        ("main", TrainGates(semantics_on=True)),
-        ("main+instance", TrainGates(semantics_on=True, instances_on=True)),
-        ("main+instance+segment", TrainGates(semantics_on=True,
-                                             instances_on=True,
-                                             segments_on=True)),
+        # default config: train-time ESS for the stop-grad passes
+        # (Config.ess_train_stride=8 — bounded-drift, conservative occupancy)
+        ("main", TrainGates(semantics_on=True), {}),
+        ("main+instance", TrainGates(semantics_on=True, instances_on=True), {}),
+        ("main+instance+segment", all_gates, {}),
+        # dense-parity mode: exact reference sampling for the aux passes
+        ("all+ess_off", all_gates, {"ess_train_stride": 0}),
         # opt-in train-time top-k (Config.head_topk_train=64): heads run on
         # the 64 highest-weight samples of ~443 per ray — exact once the
-        # field is surface-peaked; the lever for the MLP-bound segment phase
-        ("all+topk64", TrainGates(semantics_on=True, instances_on=True,
-                                  segments_on=True)),
+        # field is surface-peaked; composable with ESS
+        ("all+topk64", all_gates, {"head_topk": 64}),
     ]
-    rcfg_topk = dataclasses.replace(rcfg, head_topk=64)
     params_host = jax.tree.map(np.asarray, params)  # train steps donate state
-    for name, gates in phases:
+    for name, gates, mods in phases:
         params = jax.tree.map(jax.numpy.asarray, params_host)
         state = init_train_state(cfg, params)
-        rcfg_p = rcfg_topk if name.endswith("topk64") else rcfg
-        step = make_train_step(cfg, mcfg, rcfg_p, gates, weights, params)
+        cfg_p = (dataclasses.replace(cfg, **{k: v for k, v in mods.items()
+                                             if k != "head_topk"})
+                 if mods else cfg)
+        rcfg_p = (dataclasses.replace(rcfg, head_topk=mods["head_topk"])
+                  if "head_topk" in mods else rcfg)
+        step = make_train_step(cfg_p, mcfg, rcfg_p, gates, weights, params)
         bm = main_sampler.sample(nrng, cfg.batch_size)
         bi = (inst_sampler.sample(nrng, cfg.batch_size_contrastive)
               if gates.instances_on else None)
@@ -171,6 +178,9 @@ def main():
     # size max_segments/max_subsegments at the 99.9th-percentile occupied
     # counts of a ray probe (kills budget truncation on dense scenes, speeds
     # up sparse ones)
+    # grouped occupancy tests (one 5^3-neighborhood row per ~5 L1 tests /
+    # per segment's L2 tests) — derived from the step geometry
+    rcfg = R.occ_grouping_for(rcfg, state_r)
     rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused)
     fn = jax.jit(lambda p, f, r: R.render_rays(p, mcfg, rcfg, state_r, r,
                                                None, False, fused=f))
@@ -190,6 +200,11 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+        # truncation guardrails at the measured operating point (see
+        # renderer/render.py budget_tail/head_tail): ~0 = no ray was clipped
+        # by the calibrated ESS budgets or the top-k head compaction
+        "budget_tail": round(float(out["budget_tail"]), 6),
+        "head_tail": round(float(out["head_tail"]), 6),
     }
     print(json.dumps(result))
 

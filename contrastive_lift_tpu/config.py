@@ -145,6 +145,16 @@ class Config:
     # (PERFORMANCE.md).
     sub_stride: int = 8
     max_subsegments: int = 24
+    # two-level empty-space skipping for the STOP-GRAD training passes
+    # (instance + segment renders — train/step.py): their density is frozen
+    # within the step, so the same conservative-occupancy argument as
+    # inference applies; only samples at the alpha floor are skipped (bounded
+    # drift, unlike head_topk_train). Stride is in samples at the TRAINING
+    # step ratio: 8 keeps the level-1 test conservative at step_ratio 0.5
+    # ((stride/2)*ratio + 1 interp voxel = 3 <= the 4-voxel block dilation).
+    # 0 disables (exact dense sampling, reference-parity mode).
+    ess_train_stride: int = 8
+    ess_train_segments: int = 32
     # opt-in train-time top-k head compaction (renderer _aux_topk /
     # render_rays): heads evaluate only the k highest-weight samples per ray.
     # Exact once the field is surface-peaked (same contract as inference

@@ -189,7 +189,8 @@ class PanopLiSceneReader:
             mask = np.ones(h * w, bool)
 
         gt_sem = gt_inst = None
-        if with_gt and (self.root / "rs_semantics").exists():
+        # per-FILE check: GT-less captures (itw) have the folders but no pngs
+        if with_gt and (self.root / "rs_semantics" / f"{name}.png").exists():
             gt_sem = _resize_nearest(np.array(Image.open(
                 self.root / "rs_semantics" / f"{name}.png")), (h, w)).reshape(-1)
             gt_inst = _resize_nearest(np.array(Image.open(

@@ -31,7 +31,7 @@ def preprocess_generic(frames_dir, pose_path, intrinsics_path, output_dir,
                        m2f_dir=None, num_classes: Optional[int] = None,
                        thing_classes=(), label_mapping: Optional[dict] = None,
                        image_hw=None, test_fraction: float = 0.2,
-                       subsample: int = 1) -> dict:
+                       subsample: int = 1, invalid_dir=None) -> dict:
     from PIL import Image
 
     frames_dir = Path(frames_dir)
@@ -79,8 +79,17 @@ def preprocess_generic(frames_dir, pose_path, intrinsics_path, output_dir,
             m2f_inst = inst if inst is not None else np.zeros((h, w), np.int64)
             probs = np.eye(nc, dtype=np.float32)[m2f_sem]
             conf = np.ones((h, w), np.float32)
+        invalid = None
+        if invalid_dir is not None:
+            # per-frame invalid masks (fisheye undistortion dead zones —
+            # itw.py; reference preprocess_itw.py:100-104)
+            mask_path = Path(invalid_dir) / f"{name}.png"
+            if mask_path.exists():
+                invalid = np.array(Image.open(mask_path).resize(
+                    (w, h), Image.NEAREST)) > 0
         writer.add_frame(name, rgb, pose, m2f_sem, m2f_inst, probs, conf,
-                         gt_semantics=sem, gt_instance=inst, segments=m2f_inst)
+                         gt_semantics=sem, gt_instance=inst,
+                         segments=m2f_inst, invalid=invalid)
 
     inst_to_sem = {0: 0}
     if gt_insts and gt_sems:

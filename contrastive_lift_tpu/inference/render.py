@@ -49,10 +49,13 @@ def load_model_for_inference(ckpt_path, cfg: Config, num_semantic_classes: int,
     rcfg = make_render_config(cfg, bbox_aabb, grid_dim, mcfg,
                               step_ratio=step_ratio, white_bg=white_bg)
     if head_topk == "auto":
-        # trained fields are surface-peaked: the top quarter of samples per
-        # ray covers everything above raymarch_weight_thres (see
-        # tests/test_topk_render.py), at ~4x less head compute
-        head_topk = max(64, rcfg.n_samples // 4)
+        # trained fields are surface-peaked: the top-64 samples per ray cover
+        # everything above raymarch_weight_thres (tests/test_topk_render.py),
+        # and head cost scales hard with k (k=24 -> 64 -> 128 measured 23.9
+        # -> 36.4 -> 56.6 ms/chunk on v5e). The head_tail guard in
+        # render_frames flags any ray whose k-th kept weight still clears
+        # the threshold, so under-budgeting cannot pass silently.
+        head_topk = min(64, max(16, rcfg.n_samples // 4))
     if head_topk:
         import dataclasses
         rcfg = dataclasses.replace(rcfg, head_topk=int(head_topk))
@@ -83,7 +86,7 @@ def _build_render_grids(params, mcfg, rcfg, state_r):
 def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   chunk: int = 8192, progress: bool = False,
                   use_fused: bool = True, mesh=None, data_axis: str = "data",
-                  auto_budget: bool = True):
+                  auto_budget: bool = True, bake_heads: bool = False):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
     Builds the fused dense grids once (parameters are fixed at inference) so
@@ -97,6 +100,8 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     size).
     """
     fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
+    if fused is not None and fused.occ_group is not None:
+        rcfg = R.occ_grouping_for(rcfg, state_r)
     if (auto_budget and fused is not None and frames
             and rcfg.coarse_stride is not None and fused.coarse_occ is not None):
         # probe across up to 8 frames so budgets cover every viewpoint
@@ -105,6 +110,9 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
         probe = np.concatenate(
             [f.rays[::max(1, len(f.rays) // per)][:per] for f in sel])
         rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, probe, fused)
+    if bake_heads and fused is not None and fused.compact_cells is not None:
+        from ..renderer.bake import bake_head_tables
+        fused = bake_head_tables(params, mcfg, fused)
     fn = _jitted_render(mcfg, rcfg)
     if mesh is not None:
         from ..parallel import mesh as pmesh
@@ -115,23 +123,72 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
         if fused is not None:
             fused = pmesh.replicate_tree(mesh, fused)
         ray_sharding = pmesh.batch_sharding(mesh, data_axis)
+    # Cross-frame pipelining: dispatch is async, so frame i's chunks compute
+    # while frame i-1's maps stream to host (copy_to_host_async) — on the
+    # remote-TPU platform each synchronous fetch costs a ~29 ms round trip,
+    # which this overlaps with compute. Maps are concatenated ON DEVICE so
+    # the fetch is 4 transfers per frame, not 4 per chunk.
+    import jax.numpy as jnp
+    keys = ("rgb", "semantics", "instances", "depth")
     results = []
+    pending = None
+    tails = []
+    head_tails = []
+
+    def _drain(dev_maps):
+        return {k: np.asarray(v) for k, v in dev_maps.items()}
+
     for fi, frame in enumerate(frames):
         rays = frame.rays.astype(np.float32)
         n = rays.shape[0]
         pad = (-n) % chunk
         rays_p = np.pad(rays, ((0, pad), (0, 0)))
-        outs = []
-        for i in range(0, len(rays_p), chunk):
-            r = rays_p[i:i + chunk]
-            if mesh is not None:
-                r = jax.device_put(r, ray_sharding)
-            outs.append(fn(params, fused, state_r, r))
-        cat = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
-               for k in ("rgb", "semantics", "instances", "depth")}
-        results.append(cat)
+        if mesh is None:
+            # one H2D per frame; chunk slices stay on device
+            rays_dev = jax.device_put(rays_p)
+            chunks = [rays_dev[i:i + chunk]
+                      for i in range(0, len(rays_p), chunk)]
+        else:
+            chunks = [jax.device_put(rays_p[i:i + chunk], ray_sharding)
+                      for i in range(0, len(rays_p), chunk)]
+        outs = [fn(params, fused, state_r, r) for r in chunks]
+        tails.extend(o["budget_tail"] for o in outs)
+        head_tails.extend(o["head_tail"] for o in outs)
+        cat = {k: jnp.concatenate([o[k] for o in outs])[:n] for k in keys}
+        for v in cat.values():
+            try:
+                v.copy_to_host_async()
+            except Exception:  # pragma: no cover - platform-dependent
+                pass
+        if pending is not None:
+            results.append(_drain(pending))
+        pending = cat
         if progress:
             print(f"rendered frame {fi + 1}/{len(frames)}", flush=True)
+    if pending is not None:
+        results.append(_drain(pending))
+    if tails:
+        # calibrated-budget margin guardrail (see render_rays budget_tail):
+        # rays outside the probe cone that would silently truncate show up as
+        # compositing weight in the deepest kept segment
+        worst = float(jnp.max(jnp.stack(tails)))
+        if worst > 1e-2:
+            import warnings
+            warnings.warn(
+                f"empty-space-skipping budget margin exhausted: deepest kept "
+                f"segment carries weight {worst:.3g} on some ray — rendered "
+                f"views exceed the calibration probe; raise max_segments/"
+                f"max_subsegments or re-probe with these frames")
+    if head_tails:
+        worst_k = float(jnp.max(jnp.stack(head_tails)))
+        if worst_k > rcfg.raymarch_weight_thres * 2:
+            import warnings
+            warnings.warn(
+                f"head_topk budget tight: the k-th kept compositing weight "
+                f"reaches {worst_k:.3g} (threshold "
+                f"{rcfg.raymarch_weight_thres:g}) — some above-threshold "
+                f"samples were dropped from the head evaluation; raise "
+                f"head_topk")
     return results
 
 

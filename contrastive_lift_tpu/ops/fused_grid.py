@@ -53,6 +53,16 @@ class FusedGrids(NamedTuple):
     # sub-segment midpoint tests (incl. interpolation corners) while smearing
     # surfaces by only ~2 voxels (see _build_tight_occ)
     coarse_occ_tight: Optional[jnp.ndarray] = None  # [Cx*Cy*Cz, 8] f32
+    # grouped-occupancy neighborhood rows: row b holds the occupancy maxima
+    # of the 5^3 block neighborhood [b, b+4]^3 (lane dx*25+dy*5+dz, 3 pad
+    # lanes), so ONE row gather serves a GROUP of consecutive ray-ordered
+    # occupancy tests (their block coords span <= 5 per axis by the
+    # step-geometry gate in renderer.occ_grouping_for). Cuts the coarse-pass
+    # gather count ~GROUP x; values are identical to coarse_occ /
+    # coarse_occ_tight so the selected segments match the ungrouped path
+    # bit-for-bit.
+    occ_group: Optional[jnp.ndarray] = None        # [Cx*Cy*Cz, 128] f32
+    occ_group_tight: Optional[jnp.ndarray] = None  # [Cx*Cy*Cz, 128] f32
     # -- brick atlas: the fine-density fast path ---------------------------
     # v5e random row-gather throughput cliffs with table ROW COUNT: ~260-327M
     # rows/s for <=110k-row tables vs ~66-90M for multi-million-row tables
@@ -68,7 +78,12 @@ class FusedGrids(NamedTuple):
     # shrinks them by the scene's occupancy factor (2-20%). slot_map maps a
     # brick to its slot (0 = empty -> zero sentinel rows).
     slot_map: Optional[jnp.ndarray] = None        # [Cx*Cy*Cz, 8] int32
-    compact_feature_cells: Dict[str, jnp.ndarray] = {}  # corner rows, compacted
+    compact_feature_cells: Dict[str, jnp.ndarray] = {}
+    # gather map behind the compact tables: cell index (into the (g-1)^3 cell
+    # grid) of every compact row past the sentinel brick — lets later passes
+    # (e.g. renderer/bake.py head baking) compact NEW corner tables into the
+    # same slot layout with one take()
+    compact_cells: Optional[jnp.ndarray] = None   # [capacity * sv^3] int32  # corner rows, compacted
 
 
 def build_dense_density(params: dict) -> jnp.ndarray:
@@ -153,29 +168,98 @@ def _build_coarse_occ(dense: jnp.ndarray, supervoxel: int):
         padding=((1, 1),) * 3)
     cdim = dilated.shape
     # width-8 replication: row gathers beat sub-row scalar gathers ~2x (v5e)
-    return jnp.repeat(dilated.reshape(-1, 1), 8, axis=1), cdim
+    return jnp.repeat(dilated.reshape(-1, 1), 8, axis=1), cdim, dilated
 
 
-def _build_tight_occ(dense: jnp.ndarray, supervoxel: int):
-    """Max raw density per supervoxel block with a TWO-VOXEL margin (window
-    sv+4, stride sv) — the mid-level occupancy for sub-segment tests.
+def _build_occ_group(vals3d: jnp.ndarray) -> jnp.ndarray:
+    """[cx,cy,cz] per-block occupancy maxima -> [cx*cy*cz, 128] neighborhood
+    rows: row b holds vals3d over blocks [b, b+4]^3 at lane dx*25+dy*5+dz
+    (out-of-grid neighbors = -inf, never selected; 3 pad lanes)."""
+    cx, cy, cz = vals3d.shape
+    padded = jnp.pad(vals3d, ((0, 4),) * 3, constant_values=-jnp.inf)
+    rows = [padded[dx:dx + cx, dy:dy + cy, dz:dz + cz]
+            for dx in range(5) for dy in range(5) for dz in range(5)]
+    out = jnp.stack(rows, axis=-1).reshape(cx * cy * cz, 125)
+    return jnp.pad(out, ((0, 0), (0, 3)), constant_values=-jnp.inf)
 
-    Strictly conservative for a test point whose sub-segment spans up to
-    +-2 voxels around its own supervoxel INCLUDING the interpolation corners
-    of the extreme sample (a sample 2-eps voxels outside the block reads
-    corner voxels up to 2 voxels outside, which the window covers). That
-    admits sub_stride * step_ratio <= 4 (e.g. stride-8 subs at both the 0.25
-    inference and 0.5 training step ratios), while smearing surfaces by only
-    ~2 voxels instead of the block-dilated grid's ~sv."""
+
+def sample_occ_grouped(fused: "FusedGrids", xyz: jnp.ndarray, group: int,
+                       tight: bool = False) -> jnp.ndarray:
+    """Occupancy upper bound at [R, T, 3] normalized coords, one neighborhood
+    row gather per ``group`` consecutive tests (T % group == 0).
+
+    Each group's block coords must span <= 5 blocks per axis — guaranteed
+    when consecutive tests advance <= (4/(group-1)) supervoxels per axis
+    (renderer.occ_grouping_for derives the feasible group size from the
+    step/voxel geometry host-side). Values match sample_coarse_occ exactly:
+    the lane select uses the same clipped block index."""
+    R, T, _ = xyz.shape
+    gx, gy, gz = fused.grid_dim
+    cx, cy, cz = fused.coarse_dim
+    sv = fused.supervoxel
+    g = jnp.asarray((gx, gy, gz), jnp.float32)
+    p = (xyz + 1.0) * 0.5 * (g - 1.0)
+    i = jnp.clip(p.astype(jnp.int32) // sv, 0,
+                 jnp.asarray((cx - 1, cy - 1, cz - 1), jnp.int32))  # [R,T,3]
+    ig = i.reshape(R, T // group, group, 3)
+    origin = jnp.min(ig, axis=2)                                   # [R,nG,3]
+    flat = (origin[..., 0] * cy + origin[..., 1]) * cz + origin[..., 2]
+    table = fused.occ_group_tight if tight else fused.occ_group
+    rows = jnp.take(table, flat.reshape(-1), axis=0)
+    rows = rows.reshape(R, T // group, 128)
+    off = ig - origin[:, :, None, :]                               # [R,nG,G,3]
+    lane = off[..., 0] * 25 + off[..., 1] * 5 + off[..., 2]        # [R,nG,G]
+    # iota-compare lane select (fuses with the gather like the brick interp;
+    # no materialized [.,G,128] intermediate)
+    lane_iota = jnp.arange(128, dtype=jnp.int32)
+    sel = lane[..., None] == lane_iota
+    vals = jnp.max(jnp.where(sel, rows[:, :, None, :], -jnp.inf), axis=-1)
+    return vals.reshape(R, T)
+
+
+def tight_occ_pads(sub_stride: int, step_size: float, min_unit: float,
+                   supervoxel: int = 4) -> Tuple[int, int]:
+    """Node margins the tight-occupancy window needs around a block so every
+    fine sample of a sub-segment whose MIDPOINT falls in the block keeps its
+    interpolation corners inside the window.
+
+    Worst-axis extents in voxels around the midpoint: -(sub/2)*sr backward,
+    +(sub/2 - 1)*sr forward (sr = step in voxels of the smallest-unit axis),
+    plus one node for the upper interp corner / floor for the lower. The
+    advisor's round-2 finding was exactly the forward margin at the 0.5
+    training ratio (pad 2 is one node short there); computing the pads from
+    the measured step geometry keeps the window minimal at the 0.25
+    inference ratio (pads (2,2)) and safe at any other."""
+    sr = step_size / max(min_unit, 1e-12)
+    left = int(np.ceil(sub_stride / 2 * sr + 1 - 1e-6))
+    right = int(np.ceil((sub_stride / 2 - 1) * sr + 1 - 1e-6))
+    return max(2, left), max(2, right)
+
+
+def _build_tight_occ(dense: jnp.ndarray, supervoxel: int,
+                     pads: Tuple[int, int] = (2, 3)):
+    """Max raw density per supervoxel block with a margin (window
+    sv + pads[0] + pads[1], stride sv) — the mid-level occupancy for
+    sub-segment tests.
+
+    Window covers nodes [sv*b - pads[0], sv*b + sv + pads[1]] around block
+    b; ``tight_occ_pads`` derives the minimal conservative pads from the
+    step geometry (the (2,3) default admits sub_stride * step_ratio <= 4 on
+    cubic voxels — both the 0.25 inference and 0.5 training ratios — while
+    smearing surfaces by only ~2 voxels instead of the block-dilated grid's
+    ~supervoxel)."""
     sv = supervoxel
+    lo, hi = pads
     cdims = tuple(-(-g // sv) for g in dense.shape)
-    pads = [(2, sv * c + 4 - g - 2) for c, g in zip(cdims, dense.shape)]
-    padded = jnp.pad(dense, pads, constant_values=-jnp.inf)
+    win = sv + lo + hi
+    jpads = [(lo, sv * (c - 1) + win - lo - g)
+             for c, g in zip(cdims, dense.shape)]
+    padded = jnp.pad(dense, jpads, constant_values=-jnp.inf)
     tight = jax.lax.reduce_window(
         padded, -jnp.inf, jax.lax.max,
-        window_dimensions=(sv + 4,) * 3, window_strides=(sv,) * 3,
+        window_dimensions=(win,) * 3, window_strides=(sv,) * 3,
         padding="VALID")
-    return jnp.repeat(tight.reshape(-1, 1), 8, axis=1)
+    return jnp.repeat(tight.reshape(-1, 1), 8, axis=1), tight
 
 
 def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
@@ -185,7 +269,9 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                       occ_raw_thres: Optional[float] = None,
                       dense_override: Optional[jnp.ndarray] = None,
                       with_atlas: bool = False,
-                      atlas_dtype=jnp.float32) -> FusedGrids:
+                      atlas_dtype=jnp.float32,
+                      with_occ_groups: bool = False,
+                      tight_pads: Tuple[int, int] = (2, 3)) -> FusedGrids:
     """Densify every grid branch present (density always; appearance/semantic/
     instance/feature when they are VM branches rather than xyz-MLPs).
 
@@ -212,13 +298,18 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
             else:
                 features[name] = grid
     coarse_occ, coarse_dim, occ_tight = (None, None, None)
+    occ_group, occ_group_tight = (None, None)
     if with_occupancy:
-        coarse_occ, coarse_dim = _build_coarse_occ(dense, supervoxel)
-        occ_tight = _build_tight_occ(dense, supervoxel)
+        coarse_occ, coarse_dim, dilated3d = _build_coarse_occ(dense, supervoxel)
+        occ_tight, tight3d = _build_tight_occ(dense, supervoxel, tight_pads)
+        if with_occ_groups:
+            occ_group = _build_occ_group(dilated3d)
+            occ_group_tight = _build_occ_group(tight3d)
     atlas = _build_brick_atlas(dense, atlas_dtype) if with_atlas else None
     fused = FusedGrids(_cell_corner_grid(dense), grid_dim, features,
                        feature_cells, coarse_occ, coarse_dim, supervoxel,
-                       coarse_occ_tight=occ_tight, brick_atlas=atlas)
+                       coarse_occ_tight=occ_tight, brick_atlas=atlas,
+                       occ_group=occ_group, occ_group_tight=occ_group_tight)
     if compact_capacity is not None:
         if occ_raw_thres is None or coarse_occ is None:
             raise ValueError("compaction needs with_occupancy + occ_raw_thres")
@@ -349,7 +440,8 @@ def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,
         compact_fc[name] = jnp.concatenate(
             [jnp.zeros((B, rows.shape[-1]), rows.dtype), rows])
     return fused._replace(feature_cells={}, slot_map=slot_map,
-                          compact_feature_cells=compact_fc)
+                          compact_feature_cells=compact_fc,
+                          compact_cells=cell_flat)
 
 
 def build_render_grids(params: dict, mcfg, rcfg, state_r,
@@ -360,54 +452,71 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
     rows (bf16), coarse occupancy for two-level empty-space skipping, and —
     when ``compact`` — occupancy-compacted tables sized to the scene.
 
-    Capacity is bucketed (power of two) so the jitted builder/render
-    recompile only when occupancy crosses a bucket boundary, and the one
-    host sync per build is a 4-byte scalar.
+    Capacity is bucketed in ~25% steps snapped to multiples of 256
+    (``compact_capacity_bucket``) so the jitted builder/render recompile only
+    when occupancy crosses a bucket boundary, and the one host sync per build
+    is a 4-byte scalar.
     """
     corner = ("appearance",) if "appearance" in params else ()
     dtype_name = jnp.dtype(feature_dtype).name
     has_dense = dense_override is not None
+    # minimal conservative tight-occupancy window for the ACTUAL step
+    # geometry (advisor r2: validate the precondition instead of assuming it)
+    pads = (2, 3)
+    if rcfg.sub_stride:
+        pads = tight_occ_pads(rcfg.sub_stride, float(state_r.step_size),
+                              float(jnp.min(state_r.units)))
     if not compact:
         return _cached_builder(mcfg, corner, dtype_name, None, None,
-                               has_dense)(params, dense_override)
+                               has_dense, pads)(params, dense_override)
     thres = raw_occupancy_threshold(
         mcfg.splus_density_shift, float(state_r.step_size),
         rcfg.distance_scale, rcfg.occ_alpha_thres)
     n_occ = int(_cached_counter(thres, has_dense)(params, dense_override))
     cap = compact_capacity_bucket(n_occ)
     return _cached_builder(mcfg, corner, dtype_name, cap, thres,
-                           has_dense)(params, dense_override)
+                           has_dense, pads)(params, dense_override)
 
 
 @functools.lru_cache(maxsize=16)
 def _cached_counter(thres: float, has_dense: bool = False):
     def _count(p, dense_override):
         dense = dense_override if has_dense else build_dense_density(p)
-        occ, _ = _build_coarse_occ(dense, 4)
+        occ, _, _ = _build_coarse_occ(dense, 4)
         return jnp.sum(occ[:, 0] > thres)
     return jax.jit(_count)
 
 
 @functools.lru_cache(maxsize=16)
-def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False):
+def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False,
+                    tight_pads=(2, 3)):
     return jax.jit(lambda p, dense_override: build_fused_grids(
         p, mcfg, feature_dtype=jnp.dtype(dtype_name), corner_features=corner,
         with_occupancy=True, compact_capacity=cap, occ_raw_thres=thres,
         dense_override=dense_override if has_dense else None,
-        with_atlas=True))
+        with_atlas=True, with_occ_groups=True, tight_pads=tight_pads))
 
 
-def build_density_only(params: dict, with_atlas: bool = False) -> FusedGrids:
+def build_density_only(params: dict, with_atlas: bool = False,
+                       with_occupancy: bool = False) -> FusedGrids:
     """Density-only fused grids (for the training passes whose density is
     stop-gradient: instance + segment renders). Cheap enough to rebuild every
     step (~10-40 ms of einsums + slicing). ``with_atlas`` is OFF here:
     measured on v5e, the per-step atlas build (125 lane-strided slices =
     Mosaic relayouts) costs more than the faster gathers save at training
     sample counts (full step 0.85 -> 0.80 steps/s); the atlas pays off only
-    when amortized across an inference render."""
+    when amortized across an inference render. ``with_occupancy`` adds the
+    block-dilated coarse grid for train-time empty-space skipping (two
+    reduce_windows — cheap per step; the grouped/neighborhood tables are
+    deliberately NOT built here for the same relayout-cost reason as the
+    atlas)."""
     dense = build_dense_density(params)
     atlas = _build_brick_atlas(dense) if with_atlas else None
+    coarse_occ, coarse_dim = (None, None)
+    if with_occupancy:
+        coarse_occ, coarse_dim, _ = _build_coarse_occ(dense, 4)
     return FusedGrids(_cell_corner_grid(dense), dense.shape, {}, {},
+                      coarse_occ=coarse_occ, coarse_dim=coarse_dim,
                       brick_atlas=atlas)
 
 

@@ -27,7 +27,7 @@ from ..models import tensorf as tf
 from ..ops.compositing import composite, distortion_loss, raw_to_alpha
 from ..ops.fused_grid import (FusedGrids, sample_coarse_occ,
                               sample_density_brick, sample_density_fused,
-                              sample_feature_fused)
+                              sample_feature_fused, sample_occ_grouped)
 
 
 @dataclass(frozen=True)
@@ -74,6 +74,40 @@ class RenderConfig:
     # density budget ~2.5x on surface fields. None = off.
     sub_stride: Optional[int] = None
     max_subsegments: int = 24
+    # heavy/light ray bucketing: a static per-chunk budget must cover the
+    # p99.9 ray, but ~90% of rays cross far fewer occupied sub-segments.
+    # With max_subsegments_light > 0, rays are ranked by occupied-sub-segment
+    # count; the top ``heavy_fraction`` get the full ``max_subsegments``
+    # budget and the rest evaluate only ``max_subsegments_light`` — two
+    # static-shape fine passes instead of one worst-case one (~2x fewer fine
+    # gathers; the gather wall is the render's dominant cost). Calibrated by
+    # ``calibrate_budgets``; 0 disables. A light ray needing more than the
+    # light budget (out-of-probe views) surfaces in ``budget_tail``.
+    max_subsegments_light: int = 0
+    heavy_fraction: float = 0.125
+    # grouped occupancy tests: one 5^3-neighborhood row gather serves
+    # occ_group_l1 consecutive L1 segment tests (resp. all n_sub L2 tests of
+    # one segment). Sizes are step-geometry-dependent — derive them with
+    # ``occ_grouping_for`` (host-side) rather than setting by hand; 0/False =
+    # per-test gathers. Selected segments are identical either way.
+    occ_group_l1: int = 0
+    occ_group_l2: bool = False
+
+    def __post_init__(self):
+        if self.head_topk_semins is not None and self.head_topk is None:
+            raise ValueError(
+                "head_topk_semins compacts a prefix of the head_topk sort; "
+                "set head_topk too (advisor round-2: silently ignored before)")
+        # sub_stride >= coarse_stride disables the third level (use_sub);
+        # only an ACTIVE non-divisible sub level silently drops samples
+        if (self.sub_stride is not None and self.coarse_stride is not None
+                and self.sub_stride < self.coarse_stride
+                and self.coarse_stride % self.sub_stride != 0):
+            raise ValueError(
+                f"coarse_stride ({self.coarse_stride}) must be a multiple of "
+                f"sub_stride ({self.sub_stride}): the trailing "
+                "coarse_stride % sub_stride samples of each segment would "
+                "never be covered by any sub-segment candidate")
 
 
 class RenderState(NamedTuple):
@@ -172,77 +206,126 @@ def _density_weights(params, mcfg, rcfg, state, rays, rng, is_train,
     return xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_weight
 
 
-def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
-                       rays: jnp.ndarray, fused: FusedGrids):
-    """Coarse/fine density evaluation with empty-space skipping.
+def occ_grouping_for(rcfg: RenderConfig, state: RenderState,
+                     supervoxel: int = 4) -> RenderConfig:
+    """Derive feasible grouped-occupancy-test sizes from the step geometry.
 
-    Returns the same tuple as _density_weights but with K = max_segments *
-    coarse_stride samples per ray (the nearest occupied segments, in order).
-    """
-    cs = rcfg.coarse_stride
-    S = rcfg.n_samples
-    S_c = -(-S // cs)
-    k_seg = min(rcfg.max_segments, S_c)
-    R = rays.shape[0]
+    A 5^3-neighborhood row covers block offsets [0, 4] per axis, so a group
+    of G consecutive tests is servable by one gather when its total per-axis
+    advance (G-1) * stride * step_size stays within 4 supervoxels of the
+    WORST axis (units differ per axis on non-cubic boxes). Host-side: reads
+    concrete floats from ``state``; call before jitting the render."""
+    from dataclasses import replace
+    if rcfg.coarse_stride is None:
+        return rcfg
+    min_unit = float(np.min(np.asarray(state.units)))
+    step = float(np.asarray(state.step_size))
+    margin = 4 * supervoxel * min_unit * (1 + 1e-6)
+    adv1 = rcfg.coarse_stride * step
+    g1 = min(8, int(margin / adv1) + 1) if adv1 > 0 else 0
+    # L2 grouping is measured SLOWER on v5e (n_sub=2 halves the gathers but
+    # the lane select costs more than it saves: l1l2 7.3 -> 8.3 ms at the
+    # bench point — tools/profile_render_stages.py); keep it off. L1's
+    # 5-per-row grouping wins (3.7 -> 3.2 ms).
+    return replace(rcfg, occ_group_l1=g1 if g1 >= 2 else 0, occ_group_l2=False)
+
+
+def _ray_tmin(state: RenderState, rays: jnp.ndarray):
+    """AABB entry parameter per ray (slab test, clipped to [near, far])."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     nears, fars = rays[:, 6], rays[:, 7]
     vec = jnp.where(rays_d == 0, 1e-6, rays_d)
     rate_a = (state.bbox_aabb[1] - rays_o) / vec
     rate_b = (state.bbox_aabb[0] - rays_o) / vec
     t_min = jnp.clip(jnp.max(jnp.minimum(rate_a, rate_b), axis=-1), nears, fars)
+    return rays_o, rays_d, t_min
 
-    # coarse pass at segment midpoints against the occupancy upper bound
-    steps_c = (jnp.arange(S_c, dtype=jnp.float32) * cs + 0.5 * cs) * state.step_size
-    z_c = t_min[:, None] + steps_c[None, :]
-    xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
-    xyz_cn = normalize_coordinates(state, xyz_c).reshape(-1, 3)
-    raw_up = sample_coarse_occ(fused, xyz_cn).reshape(R, S_c)
+
+def _occ_alpha_test(mcfg, rcfg: RenderConfig, state: RenderState, raw_up):
+    """occupied = per-sample alpha of the density upper bound > threshold."""
     sigma_up = jax.nn.softplus(raw_up + mcfg.splus_density_shift)
     alpha_up = 1.0 - jnp.exp(-sigma_up * state.step_size * rcfg.distance_scale)
-    occupied = alpha_up > rcfg.occ_alpha_thres
+    return alpha_up > rcfg.occ_alpha_thres
+
+
+def _select_segments(mcfg, rcfg: RenderConfig, state: RenderState,
+                     rays_o, rays_d, t_min, fused: FusedGrids):
+    """Level 1: coarse-segment midpoints vs the block-dilated occupancy.
+
+    Returns (seg_idx [R, k_seg] nearest-first, seg_valid [R, k_seg])."""
+    cs = rcfg.coarse_stride
+    S_c = -(-rcfg.n_samples // cs)
+    k_seg = min(rcfg.max_segments, S_c)
+    R = rays_o.shape[0]
+    group = rcfg.occ_group_l1 if fused.occ_group is not None else 0
+    S_cp = -(-S_c // group) * group if group >= 2 else S_c
+    steps_c = (jnp.arange(S_cp, dtype=jnp.float32) * cs + 0.5 * cs) * state.step_size
+    z_c = t_min[:, None] + steps_c[None, :]
+    xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
+    xyz_cn = normalize_coordinates(state, xyz_c)
+    if group >= 2:
+        # pad midpoints are just further along the ray (same spacing, so the
+        # group-span guarantee holds); their occupancy is sliced away
+        raw_up = sample_occ_grouped(fused, xyz_cn, group)[:, :S_c]
+    else:
+        raw_up = sample_coarse_occ(fused, xyz_cn.reshape(-1, 3)).reshape(R, S_cp)
+    occupied = _occ_alpha_test(mcfg, rcfg, state, raw_up)
     # nearest occupied segments first; top_k of descending score = ascending t
     score = occupied.astype(jnp.float32) * (S_c - jnp.arange(S_c, dtype=jnp.float32))
     top_scores, seg_idx = jax.lax.top_k(score, k_seg)       # [R, k_seg]
-    seg_valid = top_scores > 0
+    return seg_idx, top_scores > 0
 
-    use_sub = (rcfg.sub_stride is not None and rcfg.sub_stride < cs
-               and fused.coarse_occ_tight is not None)
-    if use_sub:
-        # third level: sub-segment midpoint tests against the one-voxel-
-        # margin occupancy; conservative when the sub-segment half-length
-        # stays under one voxel (sub_stride*step <= 2 voxels)
-        sub = rcfg.sub_stride
-        n_sub = cs // sub
-        cand = k_seg * n_sub
-        sub_j = jnp.arange(n_sub, dtype=jnp.float32)
-        sub_steps = (seg_idx[..., None].astype(jnp.float32) * cs
-                     + sub_j[None, None, :] * sub + 0.5 * sub)  # [R,k,n_sub]
-        sub_steps = sub_steps.reshape(R, cand)
-        z_s = t_min[:, None] + sub_steps * state.step_size
-        xyz_s = rays_o[:, None, :] + rays_d[:, None, :] * z_s[..., None]
-        xyz_sn = normalize_coordinates(state, xyz_s).reshape(-1, 3)
-        raw_up2 = sample_coarse_occ(fused, xyz_sn, tight=True).reshape(R, cand)
-        sig2 = jax.nn.softplus(raw_up2 + mcfg.splus_density_shift)
-        alpha2 = 1.0 - jnp.exp(-sig2 * state.step_size * rcfg.distance_scale)
-        occ2 = ((alpha2 > rcfg.occ_alpha_thres)
-                & jnp.repeat(seg_valid, n_sub, axis=1)
-                & (sub_steps < S))
-        # candidates are already time-ordered (segments ascend in t, subs
-        # ascend within a segment), so rank = position
-        score2 = occ2.astype(jnp.float32) * (cand - jnp.arange(cand, dtype=jnp.float32))
-        k_sub = min(rcfg.max_subsegments, cand)
-        top2, sub_idx = jax.lax.top_k(score2, k_sub)        # [R, k_sub]
-        sub_valid = top2 > 0
-        sub_start = jnp.take_along_axis(
-            sub_steps - 0.5 * sub, sub_idx.astype(jnp.int32), axis=1)
-        offs = jnp.arange(sub, dtype=jnp.float32)
-        fine_steps = sub_start[..., None] + offs[None, None, :]
-        sample_valid = (fine_steps < S) & sub_valid[..., None]
+
+def _select_subsegments(mcfg, rcfg: RenderConfig, state: RenderState,
+                        rays_o, rays_d, t_min, fused: FusedGrids,
+                        seg_idx, seg_valid):
+    """Level 2: sub-segment midpoints vs the tight-margin occupancy.
+
+    Returns (fine_steps [R, k_sub, sub], sample_valid [R, k_sub, sub])."""
+    cs = rcfg.coarse_stride
+    S = rcfg.n_samples
+    sub = rcfg.sub_stride
+    n_sub = cs // sub
+    k_seg = seg_idx.shape[1]
+    cand = k_seg * n_sub
+    R = rays_o.shape[0]
+    sub_j = jnp.arange(n_sub, dtype=jnp.float32)
+    sub_steps = (seg_idx[..., None].astype(jnp.float32) * cs
+                 + sub_j[None, None, :] * sub + 0.5 * sub)  # [R,k,n_sub]
+    sub_steps = sub_steps.reshape(R, cand)
+    z_s = t_min[:, None] + sub_steps * state.step_size
+    xyz_s = rays_o[:, None, :] + rays_d[:, None, :] * z_s[..., None]
+    xyz_sn = normalize_coordinates(state, xyz_s)
+    if rcfg.occ_group_l2 and fused.occ_group_tight is not None:
+        # one neighborhood row per SEGMENT serves its n_sub sub-tests (they
+        # span <= one segment = a few voxels; gated by occ_grouping_for)
+        raw_up2 = sample_occ_grouped(fused, xyz_sn, n_sub, tight=True)
     else:
-        # fine samples inside the selected segments
-        offs = jnp.arange(cs, dtype=jnp.float32)
-        fine_steps = seg_idx[..., None].astype(jnp.float32) * cs + offs[None, None, :]
-        sample_valid = (fine_steps < S) & seg_valid[..., None]
+        raw_up2 = sample_coarse_occ(fused, xyz_sn.reshape(-1, 3),
+                                    tight=True).reshape(R, cand)
+    occ2 = (_occ_alpha_test(mcfg, rcfg, state, raw_up2)
+            & jnp.repeat(seg_valid, n_sub, axis=1)
+            & (sub_steps < S))
+    # candidates are already time-ordered (segments ascend in t, subs
+    # ascend within a segment), so rank = position
+    score2 = occ2.astype(jnp.float32) * (cand - jnp.arange(cand, dtype=jnp.float32))
+    k_sub = min(rcfg.max_subsegments, cand)
+    top2, sub_idx = jax.lax.top_k(score2, k_sub)        # [R, k_sub]
+    sub_valid = top2 > 0
+    sub_start = jnp.take_along_axis(
+        sub_steps - 0.5 * sub, sub_idx.astype(jnp.int32), axis=1)
+    offs = jnp.arange(sub, dtype=jnp.float32)
+    fine_steps = sub_start[..., None] + offs[None, None, :]
+    sample_valid = (fine_steps < S) & sub_valid[..., None]
+    needed = jnp.sum(occ2, axis=1)                      # occupied subs per ray
+    return fine_steps, sample_valid, needed
+
+
+def _fine_density(mcfg, rcfg: RenderConfig, state: RenderState,
+                  rays_o, rays_d, t_min, fused: FusedGrids,
+                  fine_steps, sample_valid):
+    """Level 3: exact density at the selected fine samples; composite-ready."""
+    R = rays_o.shape[0]
     z_vals = (t_min[:, None, None] + fine_steps * state.step_size).reshape(R, -1)
     valid = sample_valid.reshape(R, -1)
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
@@ -264,6 +347,88 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
     mids = z_vals + 0.5 * state.step_size
     alpha, weight, bg_weight = raw_to_alpha(sigma, dists * rcfg.distance_scale)
     return xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_weight
+
+
+def _tail_weight(weight: jnp.ndarray, group: int) -> jnp.ndarray:
+    """Max over rays of the compositing weight in the DEEPEST kept group —
+    the budget-truncation guardrail signal (0 on a well-calibrated scene)."""
+    return jnp.max(jnp.sum(weight[:, -group:], axis=-1))
+
+
+def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
+                       rays: jnp.ndarray, fused: FusedGrids,
+                       rng: Optional[jax.Array] = None,
+                       is_train: bool = False):
+    """Coarse/fine density evaluation with empty-space skipping.
+
+    Returns the _density_weights tuple PLUS a ``budget_tail`` scalar, with
+    K = max_segments * coarse_stride (or max_subsegments * sub_stride)
+    samples per ray (the nearest occupied segments, in order). With
+    ``is_train`` + ``rng`` the whole per-ray sample ladder is jittered by
+    perturb * U[0,1) steps (identical to sample_points_in_box — shifting
+    t_min shifts every midpoint/sample together, so the conservative
+    occupancy margins hold unchanged).
+
+    With ``max_subsegments_light`` set, rays are split into heavy/light
+    populations by occupied-sub-segment count and the fine evaluation runs
+    as two static-shape passes (see RenderConfig); light outputs are
+    column-padded to the heavy width and rows are unsorted back, so callers
+    see one [R, S] layout whose padded columns carry zero weight."""
+    cs = rcfg.coarse_stride
+    R = rays.shape[0]
+    rays_o, rays_d, t_min = _ray_tmin(state, rays)
+    if is_train and rcfg.perturb != 0 and rng is not None:
+        jitter = rcfg.perturb * jax.random.uniform(rng, (R,))
+        t_min = t_min + jitter * state.step_size
+    seg_idx, seg_valid = _select_segments(mcfg, rcfg, state, rays_o, rays_d,
+                                          t_min, fused)
+    use_sub = (rcfg.sub_stride is not None and rcfg.sub_stride < cs
+               and fused.coarse_occ_tight is not None)
+    if use_sub:
+        fine_steps, sample_valid, needed = _select_subsegments(
+            mcfg, rcfg, state, rays_o, rays_d, t_min, fused, seg_idx, seg_valid)
+        group = rcfg.sub_stride
+    else:
+        # fine samples inside the selected segments
+        offs = jnp.arange(cs, dtype=jnp.float32)
+        fine_steps = seg_idx[..., None].astype(jnp.float32) * cs + offs[None, None, :]
+        sample_valid = (fine_steps < rcfg.n_samples) & seg_valid[..., None]
+        needed = None
+        group = cs
+
+    hn = int(round(R * rcfg.heavy_fraction))
+    k_sub = fine_steps.shape[1]
+    k_l = rcfg.max_subsegments_light
+    if use_sub and 0 < k_l < k_sub and 0 < hn < R:
+        order = jnp.argsort(needed)                   # light first, heavy last
+        inv = jnp.argsort(order)
+        fs = jnp.take(fine_steps, order, axis=0)
+        sv = jnp.take(sample_valid, order, axis=0)
+        ro = jnp.take(rays_o, order, axis=0)
+        rd = jnp.take(rays_d, order, axis=0)
+        tm = jnp.take(t_min, order, axis=0)
+        nl = R - hn
+        out_l = _fine_density(mcfg, rcfg, state, ro[:nl], rd[:nl], tm[:nl],
+                              fused, fs[:nl, :k_l], sv[:nl, :k_l])
+        out_h = _fine_density(mcfg, rcfg, state, ro[nl:], rd[nl:], tm[nl:],
+                              fused, fs[nl:], sv[nl:])
+        tail = jnp.maximum(_tail_weight(out_l[6], group),
+                           _tail_weight(out_h[6], group))
+        pad_cols = (k_sub - k_l) * group
+
+        def merge(a, b):
+            # pad the per-SAMPLE axis only (bg_weight is [R, 1] — leave it)
+            if a.ndim >= 2 and a.shape[1] == k_l * group:
+                spec = [(0, 0), (0, pad_cols)] + [(0, 0)] * (a.ndim - 2)
+                a = jnp.pad(a, spec)
+            return jnp.take(jnp.concatenate([a, b]), inv, axis=0)
+
+        merged = tuple(merge(a, b) for a, b in zip(out_l, out_h))
+        return merged + (tail,)
+
+    out = _fine_density(mcfg, rcfg, state, rays_o, rays_d, t_min, fused,
+                        fine_steps, sample_valid)
+    return out + (_tail_weight(out[6], group),)
 
 
 def _needed_budget(weight: jnp.ndarray, group: int, eps: float) -> jnp.ndarray:
@@ -300,10 +465,13 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
     cs = rcfg.coarse_stride
     S_c = -(-rcfg.n_samples // cs)
 
-    def pick(needed, cap):
-        need = int(np.quantile(np.asarray(needed), quantile)) + margin
+    def pick_q(needed, cap, q):
+        need = int(np.quantile(np.asarray(needed), q)) + margin
         need = -(-need // round_to) * round_to
         return max(8, min(cap, need))
+
+    def pick(needed, cap):
+        return pick_q(needed, cap, quantile)
 
     full = replace(rcfg, max_segments=S_c, sub_stride=None)
     w = jax.jit(lambda r: _two_level_density(
@@ -313,11 +481,19 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
     if rcfg.sub_stride is not None and fused.coarse_occ_tight is not None:
         sub = rcfg.sub_stride
         cand = out.max_segments * (cs // sub)
-        full2 = replace(out, max_subsegments=cand)
+        full2 = replace(out, max_subsegments=cand, max_subsegments_light=0)
         w2 = jax.jit(lambda r: _two_level_density(
             mcfg, full2, state, r, fused)[6])(probe)
-        out = replace(out, max_subsegments=pick(
-            _needed_budget(w2, sub, weight_eps), cand))
+        needed2 = _needed_budget(w2, sub, weight_eps)
+        out = replace(out, max_subsegments=pick(needed2, cand))
+        # heavy/light bucketing: only rays ABOVE the light budget must land
+        # in the heavy bucket (top heavy_fraction by occupied count), so the
+        # light quantile sits at 1 - heavy_fraction/2 — half the heavy
+        # capacity is margin for distribution drift beyond the probe
+        if out.heavy_fraction > 0:
+            light = pick_q(needed2, cand, 1.0 - out.heavy_fraction / 2)
+            if light < out.max_subsegments:
+                out = replace(out, max_subsegments_light=light)
     # head_topk is deliberately NOT calibrated from above-threshold sample
     # counts: grazing rays clear the 1e-4 weight threshold on dozens of
     # near-weightless samples, inflating k well past what map fidelity needs
@@ -378,20 +554,29 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     use_two_level = (rcfg.coarse_stride is not None and fused is not None
                      and fused.coarse_occ is not None and not is_train)
     if use_two_level:
-        xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = \
-            _two_level_density(mcfg, rcfg, state, rays, fused)
+        # budget_tail: budget-truncation guardrail — with ESS the DEEPEST
+        # kept group should carry ~no compositing weight on a calibrated
+        # scene (render_frames warns when it exceeds the calibration eps)
+        (xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w,
+         budget_tail) = _two_level_density(mcfg, rcfg, state, rays, fused)
     else:
         xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
             params, mcfg, rcfg, state, rays, rng_pts, is_train, stop_grad=False,
             fused=fused)
+        budget_tail = jnp.zeros(())
     R, S = weight.shape
 
     dist_reg = distortion_loss(weight, mids, dists)
     compute_dtype = jnp.bfloat16 if rcfg.head_dtype == "bfloat16" else jnp.float32
 
+    head_tail = jnp.zeros(())
     if rcfg.head_topk is not None and rcfg.head_topk < S:
         k = rcfg.head_topk
         w_k, idx = jax.lax.top_k(weight, k)                       # [R, k]
+        # top-k guardrail: the k-th kept weight should sit below the
+        # raymarch threshold (then the compaction is exact); otherwise some
+        # above-threshold sample was dropped — surfaced like budget_tail
+        head_tail = jnp.max(w_k[:, -1])
         xyz_k = jnp.take_along_axis(xyz_n, idx[..., None], axis=1)
         head_weight = w_k
         flat = xyz_k.reshape(-1, 3)
@@ -430,14 +615,26 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     if dfh2 is not None and k2 != Sh:
         dfh2 = dfh2.reshape(R, Sh, -1)[:, :k2].reshape(R * k2, -1)
 
-    semantics = tf.render_semantics(
-        params, mcfg, flat2, dfh2, compute_dtype,
-        feats=_branch_feats(params, mcfg, fused, "semantic", flat2))
+    use_baked = (fused is not None and not is_train
+                 and "baked" in fused.compact_feature_cells)
+    if use_baked:
+        # baked heads (renderer/bake.py): one 256-lane row gather replaces
+        # the sem + fast/slow-ins MLP stacks; payload = [logits, instances]
+        C = rcfg.num_semantic_classes
+        D = rcfg.dim_feature_instance
+        bk = sample_feature_fused(fused, "baked", flat2, out_dim=C + D)
+        semantics = bk[:, :C]
+        if mcfg.semantic_output_softmax:
+            semantics = jax.nn.softmax(semantics, axis=-1)
+        instances = bk[:, C:]
+    else:
+        semantics = tf.render_semantics(
+            params, mcfg, flat2, dfh2, compute_dtype,
+            feats=_branch_feats(params, mcfg, fused, "semantic", flat2))
+        instances = tf.render_instances(
+            params, mcfg, flat2, dfh2, compute_dtype,
+            feats=_branch_feats(params, mcfg, fused, "instance", flat2))
     semantics = jnp.where(mask_flat2, semantics, 0.0).reshape(R, k2, -1)
-
-    instances = tf.render_instances(
-        params, mcfg, flat2, dfh2, compute_dtype,
-        feats=_branch_feats(params, mcfg, fused, "instance", flat2))
     instances = jnp.where(mask_flat2, instances, 0.0).reshape(R, k2, -1)
 
     opacity = jnp.sum(weight, -1)
@@ -469,7 +666,7 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     return {
         "rgb": rgb_map, "semantics": semantic_map, "instances": instance_map,
         "depth": depth_map, "distilled": distilled_map, "dist_reg": dist_reg,
-        "opacity": opacity,
+        "opacity": opacity, "budget_tail": budget_tail, "head_tail": head_tail,
     }
 
 
@@ -501,9 +698,17 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     Returns (instance_map [R, D], surface points_xyz [R, 3]).
     Reference: panopli_tensoRF_renderer.py:178-217.
     """
-    xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
-        params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
-        fused=fused)
+    if (fused is not None and fused.coarse_occ is not None
+            and rcfg.coarse_stride is not None):
+        # train-time empty-space skipping (Config.ess_train_stride): density
+        # is stop-gradient here, so the inference occupancy contract applies
+        xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = \
+            _two_level_density(mcfg, rcfg, state, rays, fused, rng,
+                               is_train)[:8]
+    else:
+        xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
+            params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
+            fused=fused)
     weight = jax.lax.stop_gradient(weight)
     distance_map = jax.lax.stop_gradient(jnp.sum(weight * z_vals, -1))
     weight, xyz_n, z_vals = _aux_topk(rcfg, weight, xyz_n, z_vals)
@@ -534,9 +739,15 @@ def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
 
     Reference: panopli_tensoRF_renderer.py:259-300.
     """
-    xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
-        params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
-        fused=fused)
+    if (fused is not None and fused.coarse_occ is not None
+            and rcfg.coarse_stride is not None):
+        xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = \
+            _two_level_density(mcfg, rcfg, state, rays, fused, rng,
+                               is_train)[:8]
+    else:
+        xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
+            params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
+            fused=fused)
     weight = jax.lax.stop_gradient(weight)
     weight, xyz_n, z_vals = _aux_topk(rcfg, weight, xyz_n, z_vals)
     R, S = weight.shape

@@ -117,11 +117,12 @@ def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
     chunks = rays_p.reshape(-1, chunk, rays.shape[1])
 
     fused = _aux_density_grids(params, cfg)
+    rcfg_aux = _aux_rcfg(cfg, rcfg)
 
     @jax.checkpoint
     def render_chunk(r):
-        return R.render_segment_features(params, mcfg, rcfg, state_r, r, rng,
-                                         is_train=True, fused=fused)
+        return R.render_segment_features(params, mcfg, rcfg_aux, state_r, r,
+                                         rng, is_train=True, fused=fused)
 
     seg_map = jax.lax.map(render_chunk, chunks).reshape(rays_p.shape[0], -1)[:n]
     return L.segment_grouping_loss(
@@ -135,12 +136,34 @@ def _aux_density_grids(params, cfg):
 
     Their density carries no gradient (reference renders it under no_grad), so
     the one-gather-per-sample fused path is exact and free of autodiff cost;
-    rebuilding the dense grid each step is a few einsums.
+    rebuilding the dense grid each step is a few einsums. With
+    ``ess_train_stride`` the grids also carry the coarse occupancy for
+    train-time empty-space skipping (two reduce_windows per step).
     """
     if not getattr(cfg, "fused_aux_density", True):
         return None
     from ..ops.fused_grid import build_density_only
-    return jax.lax.stop_gradient(build_density_only(params))
+    return jax.lax.stop_gradient(build_density_only(
+        params, with_occupancy=bool(getattr(cfg, "ess_train_stride", 0))))
+
+
+def _aux_rcfg(cfg, rcfg: R.RenderConfig) -> R.RenderConfig:
+    """Render config for the stop-grad passes: train-time two-level ESS.
+
+    Conservative at the 0.5 training step ratio: the level-1 test margin
+    needs (stride/2) * step_ratio + 1 interp voxel <= the 4-voxel block
+    dilation — 3 <= 4 at the default stride 8 (with slack for mildly
+    non-cubic voxels; Config.ess_train_stride docs that contract). The sub
+    level is off: its 2-voxel margin is too tight at ratio 0.5.
+    """
+    import dataclasses
+    stride = int(getattr(cfg, "ess_train_stride", 0))
+    if not stride or not getattr(cfg, "fused_aux_density", True):
+        return rcfg
+    return dataclasses.replace(
+        rcfg, coarse_stride=stride,
+        max_segments=int(getattr(cfg, "ess_train_segments", 32)),
+        sub_stride=None)
 
 
 def _interp_slow(params: dict, coeff, use_proj: bool) -> dict:
@@ -185,6 +208,7 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng)
     rngs = jax.random.split(rng, num_images)
     coeffs = jnp.power(0.9, jnp.arange(num_images, dtype=jnp.float32))
     fused = _aux_density_grids(params, cfg)
+    rcfg_aux = _aux_rcfg(cfg, rcfg)
 
     def one_image(rays, labels, confs, valid, k, coeff):
         if cfg.instance_loss_mode == "slow_fast":
@@ -192,7 +216,7 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng)
         else:
             p_img = params
         feats, points_xyz = R.render_instance_features(
-            p_img, mcfg, rcfg, state_r, rays, k, is_train=True, fused=fused)
+            p_img, mcfg, rcfg_aux, state_r, rays, k, is_train=True, fused=fused)
         if cfg.instance_loss_mode == "slow_fast":
             half = mcfg.dim_feature_instance // 2
             fast, slow = feats[:, :half], feats[:, half:]

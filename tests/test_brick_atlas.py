@@ -195,6 +195,97 @@ def test_three_level_matches_two_level():
                                np.asarray(out2["opacity"]), atol=0.1)
 
 
+def test_grouped_occupancy_matches_ungrouped():
+    """Grouped occupancy tests (one 5^3-neighborhood row per group of
+    consecutive tests) select byte-identical samples to per-test gathers,
+    at every level — the contract of sample_occ_grouped / occ_grouping_for."""
+    mcfg, params, rcfg0, state_r = _model(grid=48)
+    lin = np.linspace(-1, 1, 48, dtype=np.float32)
+    shell = (np.abs(np.sqrt(lin[:, None, None]**2 + lin[None, :, None]**2
+                            + lin[None, None, :]**2) - 0.5) < 0.07)
+    dense = jnp.asarray(np.where(shell, 11.0, 0.0), jnp.float32)
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True, with_occ_groups=True,
+                                 dense_override=dense)
+    assert fused.occ_group is not None and fused.occ_group_tight is not None
+
+    rng = np.random.default_rng(6)
+    o = rng.uniform(-0.2, 0.2, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((128, 1), 0.01, np.float32),
+         np.full((128, 1), 3.0, np.float32)], -1))
+
+    base = dataclasses.replace(rcfg0, coarse_stride=16, max_segments=12,
+                               sub_stride=8, max_subsegments=16)
+    grouped = R.occ_grouping_for(base, state_r)
+    assert grouped.occ_group_l1 >= 2
+    # exercise the L2 grouped path too (off by default — measured slower on
+    # v5e — but its correctness contract is identical)
+    grouped = dataclasses.replace(grouped, occ_group_l2=True)
+    out_u = R._two_level_density(mcfg, base, state_r, rays, fused)
+    out_g = R._two_level_density(mcfg, grouped, state_r, rays, fused)
+    for a, b in zip(out_u, out_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # raw grouped values equal per-test values on probe pairs that honor the
+    # group-span contract (consecutive tests within ~a block), both grids
+    base_p = rng.uniform(-1.05, 1.05, (16, 1, 3))
+    probes = jnp.asarray(base_p + rng.uniform(-0.05, 0.05, (16, 10, 3)),
+                         jnp.float32)
+    for tight in (False, True):
+        v_g = fg.sample_occ_grouped(fused, probes, group=2, tight=tight)
+        v_u = fg.sample_coarse_occ(fused, probes.reshape(-1, 3), tight=tight)
+        np.testing.assert_array_equal(np.asarray(v_g).ravel(), np.asarray(v_u))
+
+
+def test_heavy_light_bucketing_matches():
+    """Two static-shape fine passes (heavy/light ray bucketing) reproduce the
+    single-budget maps exactly when the light budget covers every non-heavy
+    ray — the rows are sorted, evaluated at two widths, padded and unsorted
+    (renderer _two_level_density bucketing branch)."""
+    mcfg, params, rcfg0, state_r = _model(grid=48)
+    lin = np.linspace(-1, 1, 48, dtype=np.float32)
+    shell = (np.abs(np.sqrt(lin[:, None, None]**2 + lin[None, :, None]**2
+                            + lin[None, None, :]**2) - 0.5) < 0.07)
+    dense = jnp.asarray(np.where(shell, 11.0, 0.0), jnp.float32)
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True, dense_override=dense)
+    rng = np.random.default_rng(8)
+    o = rng.uniform(-0.2, 0.2, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((256, 1), 0.01, np.float32),
+         np.full((256, 1), 3.0, np.float32)], -1))
+
+    base = dataclasses.replace(rcfg0, coarse_stride=8, max_segments=24,
+                               sub_stride=4, max_subsegments=32, head_topk=16)
+    # generous light budget: every ray below the heavy cut fits
+    bucketed = dataclasses.replace(base, max_subsegments_light=24,
+                                   heavy_fraction=0.25)
+    out_a = R.render_rays(params, mcfg, base, state_r, rays, None, False,
+                          fused=fused)
+    out_b = R.render_rays(params, mcfg, bucketed, state_r, rays, None, False,
+                          fused=fused)
+    # light rays may legitimately skip deep occupied-but-weightless subsegs
+    # the full budget still evaluates — differences sit at the alpha floor
+    # (measured max 3e-5), far inside the ESS fidelity envelope
+    for key in ("rgb", "opacity", "depth", "semantics", "instances"):
+        np.testing.assert_allclose(np.asarray(out_b[key]),
+                                   np.asarray(out_a[key]), atol=2e-4,
+                                   err_msg=key)
+    assert float(out_b["budget_tail"]) < 1e-3
+
+    # a deliberately starved light budget trips the guardrail signal
+    starved = dataclasses.replace(base, max_subsegments_light=8,
+                                  heavy_fraction=1.0 / 256.0)
+    out_s = R.render_rays(params, mcfg, starved, state_r, rays, None, False,
+                          fused=fused)
+    assert float(out_s["budget_tail"]) > 1e-3
+
+
 def test_calibrate_budgets():
     """Auto budgets: a sparse slab needs few segments (budget shrinks from
     the config default); the calibrated render matches the full-budget one."""

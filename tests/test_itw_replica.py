@@ -1,0 +1,193 @@
+"""itw (nerfstudio transforms.json + undistortion) and Replica (object-id
+folding) ingestion paths — VERDICT r2 missing #2/#3.
+
+The undistortion remap is cross-checked against OpenCV's reference
+implementation when cv2 is importable (it is baked into the test image);
+the rest is pure fixture round-trips."""
+import json
+
+import numpy as np
+import pytest
+
+from contrastive_lift_tpu.data.preprocessing import itw
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+cv2 = None
+try:  # optional independent cross-check
+    import cv2  # type: ignore  # noqa: F811
+except Exception:  # pragma: no cover
+    pass
+
+
+def _smooth_image(h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = (128 + 60 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+           + 40 * np.sin((xx + yy) / 11.0))
+    return np.clip(np.stack([img, 255 - img, (img * 0.5 + 64)], -1),
+                   0, 255).astype(np.uint8)
+
+
+def test_pinhole_distort_inverse_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-0.4, 0.4, 200)
+    y = rng.uniform(-0.3, 0.3, 200)
+    dist = (-0.2, 0.05, 0.004, -0.003)
+    xd, yd = itw.distort_pinhole(x, y, *dist)
+    xu, yu = itw._undistort_points(xd, yd, "pinhole", dist)
+    np.testing.assert_allclose(xu, x, atol=1e-5)
+    np.testing.assert_allclose(yu, y, atol=1e-5)
+
+
+def test_fisheye_distort_inverse_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-0.5, 0.5, 200)
+    y = rng.uniform(-0.5, 0.5, 200)
+    dist = (0.08, -0.02, 0.005, -0.001)
+    xd, yd = itw.distort_fisheye(x, y, *dist)
+    xu, yu = itw._undistort_points(xd, yd, "fisheye", dist)
+    np.testing.assert_allclose(xu, x, atol=1e-5)
+    np.testing.assert_allclose(yu, y, atol=1e-5)
+
+
+@pytest.mark.skipif(cv2 is None, reason="cv2 unavailable")
+def test_undistort_matches_opencv_pinhole():
+    h, w = 96, 128
+    img = _smooth_image(h, w)
+    K = np.array([[90.0, 0, w / 2 - 3], [0, 92.0, h / 2 + 2], [0, 0, 1]])
+    dist = (-0.25, 0.06, 0.004, -0.006)
+    newK = itw.estimate_new_camera(K, dist, (h, w), "pinhole")
+    ours, valid = itw.undistort_image(img, K, dist, newK, "pinhole")
+    mapx, mapy = cv2.initUndistortRectifyMap(
+        K, np.array(dist), None, newK, (w, h), cv2.CV_32FC1)
+    ref = cv2.remap(img, mapx, mapy, cv2.INTER_LINEAR)
+    inner = valid & (mapx >= 1) & (mapx < w - 1) & (mapy >= 1) & (mapy < h - 1)
+    diff = np.abs(ours.astype(np.float32) - ref.astype(np.float32))[inner]
+    assert diff.mean() < 2.0
+    assert valid.mean() > 0.95  # alpha=0 equivalent: nearly all-valid
+
+
+@pytest.mark.skipif(cv2 is None, reason="cv2 unavailable")
+def test_undistort_matches_opencv_fisheye():
+    h, w = 96, 128
+    img = _smooth_image(h, w)
+    K = np.array([[85.0, 0, w / 2], [0, 85.0, h / 2], [0, 0, 1]])
+    dist = (0.1, -0.03, 0.008, -0.002)
+    newK = itw.estimate_new_camera(K, dist, (h, w), "fisheye")
+    ours, valid = itw.undistort_image(img, K, dist, newK, "fisheye")
+    mapx, mapy = cv2.fisheye.initUndistortRectifyMap(
+        K, np.array(dist).reshape(4, 1), np.eye(3), newK, (w, h), cv2.CV_32FC1)
+    ref = cv2.remap(img, mapx, mapy, cv2.INTER_LINEAR)
+    inner = valid & (mapx >= 1) & (mapx < w - 1) & (mapy >= 1) & (mapy < h - 1)
+    diff = np.abs(ours.astype(np.float32) - ref.astype(np.float32))[inner]
+    assert diff.mean() < 2.0
+
+
+def test_read_transforms_pose_flip(tmp_path):
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    T[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], float)
+    tr = {"fl_x": 50.0, "fl_y": 51.0, "cx": 16.0, "cy": 12.0, "h": 24,
+          "w": 32, "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0,
+          "frames": [{"file_path": "images/0007.png",
+                      "transform_matrix": T.tolist()}]}
+    p = tmp_path / "transforms.json"
+    p.write_text(json.dumps(tr))
+    meta = itw.read_transforms(p)
+    assert meta["model"] == "pinhole"
+    # OpenGL -> OpenCV: columns 1,2 of the rotation flip sign
+    want = T @ np.diag([1.0, -1.0, -1.0, 1.0])
+    np.testing.assert_allclose(meta["poses"]["0007"], want)
+
+
+def test_preprocess_itw_end_to_end(tmp_path):
+    from contrastive_lift_tpu.data.panopli import PanopLiSceneReader
+    h, w = 40, 48
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    tr = {"fl_x": 40.0, "fl_y": 40.0, "cx": w / 2, "cy": h / 2, "h": h,
+          "w": w, "k1": -0.1, "k2": 0.02, "p1": 0.0, "p2": 0.0, "frames": []}
+    rng = np.random.default_rng(3)
+    for i in range(5):
+        Image.fromarray(_smooth_image(h, w)).save(frames / f"{i:04d}.png")
+        pose = np.eye(4)
+        ang = 2 * np.pi * i / 5
+        pose[:3, 3] = [2 * np.cos(ang), 2 * np.sin(ang), 1.0]
+        tr["frames"].append({"file_path": f"images/{i:04d}.png",
+                             "transform_matrix": pose.tolist()})
+    (tmp_path / "transforms.json").write_text(json.dumps(tr))
+
+    out = tmp_path / "scene"
+    info = itw.preprocess_itw(tmp_path / "transforms.json", frames, out,
+                              num_classes=2, thing_classes=[1])
+    assert info["frames"] == 5
+    assert (out / "undistorted" / "color" / "0000.png").exists()
+    assert (out / "undistorted" / "intrinsic" / "intrinsic_color.txt").exists()
+    reader = PanopLiSceneReader(out, (16, 16), max_depth=5.0)
+    scene = reader.load_scene()
+    assert len(scene.train_frames) == 4 and len(scene.val_frames) == 1
+
+
+def test_replica_label_mapping_and_fold(tmp_path):
+    from contrastive_lift_tpu.data.preprocessing.m2f import (load_class_names,
+                                                             load_thing_flags)
+    from contrastive_lift_tpu.data.preprocessing.replica import (
+        build_replica_label_mapping, fold_object_ids)
+    names = load_class_names()
+    things = load_thing_flags()
+    info = {"objects": [{"id": 1, "class_name": "bed"},
+                        {"id": 2, "class_name": "wall"},
+                        {"id": 5, "class_name": "basket"},
+                        {"id": 7, "class_name": "not-a-replica-class"}]}
+    p = tmp_path / "info_semantic.json"
+    p.write_text(json.dumps(info))
+    lut = build_replica_label_mapping(p, object_fixes={7: names.index("table")})
+    assert lut[1] == names.index("bed")
+    assert lut[2] == names.index("wall")
+    assert lut[5] == names.index("otherprop")  # csv: basket -> otherprop
+    assert lut[7] == names.index("table")      # scene-specific fix
+    assert lut[0] == 0 and lut[42] == 0        # unlisted ids -> void
+
+    obj = np.array([[1, 2], [5, 0]])
+    sem, inst = fold_object_ids(obj, lut, things)
+    assert sem[0, 0] == names.index("bed") and sem[0, 1] == names.index("wall")
+    # bed is a thing: keeps its object id; wall is stuff: instance 0
+    assert inst[0, 0] == 1 and inst[0, 1] == 0
+
+
+def test_preprocess_replica_end_to_end(tmp_path):
+    from contrastive_lift_tpu.data.panopli import PanopLiSceneReader
+    from contrastive_lift_tpu.data.preprocessing.replica import preprocess_replica
+    h, w = 24, 32
+    raw = tmp_path / "raw"
+    for sub in ("frames", "poses", "objects"):
+        (raw / sub).mkdir(parents=True)
+    info = {"objects": [{"id": 1, "class_name": "bed"},
+                        {"id": 2, "class_name": "wall"}]}
+    (raw / "info_semantic.json").write_text(json.dumps(info))
+    rng = np.random.default_rng(4)
+    for i in range(5):
+        Image.fromarray(_smooth_image(h, w)).save(raw / "frames" / f"{i}.png")
+        pose = np.eye(4)
+        pose[:3, 3] = [np.cos(i), np.sin(i), 1.0]
+        np.savetxt(raw / "poses" / f"{i}.txt", pose)
+        obj = np.zeros((h, w), np.uint8)
+        obj[:, : w // 2] = 2   # wall
+        obj[5:15, 5:15] = 1    # bed
+        Image.fromarray(obj).save(raw / "objects" / f"{i}.png")
+    intr = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]])
+    np.savetxt(raw / "intrinsics.txt", intr)
+
+    out = tmp_path / "scene"
+    info_out = preprocess_replica(raw / "frames", raw / "poses",
+                                  raw / "intrinsics.txt", raw / "objects",
+                                  raw / "info_semantic.json", out)
+    assert info_out["frames"] == 5
+    sem = np.array(Image.open(out / "staged_rs_semantics" / "0.png"))
+    from contrastive_lift_tpu.data.preprocessing.m2f import load_class_names
+    names = load_class_names()
+    assert set(np.unique(sem)) == {names.index("wall"), names.index("bed"), 0}
+    reader = PanopLiSceneReader(out, (16, 16), max_depth=5.0)
+    scene = reader.load_scene()
+    assert scene.num_semantic_classes == len(names)

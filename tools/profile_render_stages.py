@@ -1,0 +1,138 @@
+"""Stage-level profiling of the inference render pass on the real TPU.
+
+Times each ESS/density/head stage and A/B variants (grouped vs per-test
+occupancy gathers, baked vs exact heads) in ONE process at the bench
+operating point, so comparisons share the same device/tunnel state.
+Feeds the PERFORMANCE.md stage budget; run after any compute-path change.
+
+Usage: python tools/profile_render_stages.py [--iters 20]
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def make_bench_point(grid=192, chunk=8192, classes=21):
+    """The bench.py operating point: model, rays, analytic indoor field."""
+    import jax
+    import jax.numpy as jnp
+
+    from contrastive_lift_tpu.config import Config
+    from contrastive_lift_tpu.factory import build_model
+
+    cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 chunk=chunk, seed=0, precision="bf16").resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(cfg, classes, step_ratio=0.25)
+    rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
+                               head_dtype="bfloat16",
+                               coarse_stride=16, max_segments=32,
+                               sub_stride=8, max_subsegments=48)
+    lin = jnp.linspace(-1, 1, grid)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    th = 1.5 * 2.0 / grid
+    surf = ((jnp.abs(r - 0.35) < th) | (jnp.abs(r - 0.65) < th)
+            | ((Z < -0.9) & (jnp.sqrt(X**2 + Y**2) < 0.7)))
+    dense = jnp.where(surf, 14.0, 0.0).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    origins = rng.uniform(-0.2, 0.2, (chunk, 3)).astype(np.float32)
+    dirs = rng.normal(size=(chunk, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = np.concatenate([
+        origins, dirs, np.full((chunk, 1), 0.01, np.float32),
+        np.full((chunk, 1), 1.5, np.float32)], axis=-1)
+    return cfg, mcfg, params, rcfg, state_r, jax.device_put(rays), dense
+
+
+def _time(fn, sync, iters):
+    out = fn()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from contrastive_lift_tpu.ops.fused_grid import build_render_grids
+    from contrastive_lift_tpu.renderer import render as R
+    from contrastive_lift_tpu.renderer.bake import bake_head_tables
+
+    cfg, mcfg, params, rcfg0, state_r, rays, dense = make_bench_point()
+    fused = build_render_grids(params, mcfg, rcfg0, state_r, compact=True,
+                               feature_dtype=jnp.bfloat16,
+                               dense_override=dense)
+    grouped = R.occ_grouping_for(rcfg0, state_r)
+    cal = R.calibrate_budgets(mcfg, grouped, state_r, rays, fused)
+    ungrouped = dataclasses.replace(cal, occ_group_l1=0, occ_group_l2=False)
+    baked = bake_head_tables(params, mcfg, fused)
+    print(json.dumps({"budgets": [cal.max_segments, cal.max_subsegments],
+                      "groups": [cal.occ_group_l1, cal.occ_group_l2]}))
+
+    def sync_any(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        float(jnp.asarray(leaf).reshape(-1)[0])
+
+    results = {}
+
+    # -- full pass variants -------------------------------------------------
+    for name, rc, fu in [("full_grouped_baked", cal, baked),
+                         ("full_grouped_exactheads", cal, fused),
+                         ("full_ungrouped_exactheads", ungrouped, fused),
+                         ("full_ungrouped_baked", ungrouped, baked)]:
+        fn = jax.jit(lambda p, f, r, rc=rc: R.render_rays(
+            p, mcfg, rc, state_r, r, None, False, fused=f))
+        results[name] = _time(lambda: fn(params, fu, rays),
+                              lambda o: float(o["rgb"][0, 0]), args.iters)
+        print(json.dumps({name: round(results[name], 3)}), flush=True)
+
+    # -- density/ESS stages -------------------------------------------------
+    for name, rc in [("density_grouped", cal), ("density_ungrouped", ungrouped)]:
+        fn = jax.jit(lambda p, f, r, rc=rc: R._two_level_density(
+            mcfg, rc, state_r, r, f)[6])
+        results[name] = _time(lambda: fn(params, fused, rays),
+                              lambda o: float(o[0, 0]), args.iters)
+        print(json.dumps({name: round(results[name], 3)}), flush=True)
+
+    for name, rc in [("l1_grouped", cal), ("l1_ungrouped", ungrouped)]:
+        def l1(p, f, r, rc=rc):
+            ro, rd, t0_ = R._ray_tmin(state_r, r)
+            return R._select_segments(mcfg, rc, state_r, ro, rd, t0_, f)[0]
+        fn = jax.jit(l1)
+        results[name] = _time(lambda: fn(params, fused, rays),
+                              lambda o: float(o[0, 0]), args.iters)
+        print(json.dumps({name: round(results[name], 3)}), flush=True)
+
+    for name, rc in [("l1l2_grouped", cal), ("l1l2_ungrouped", ungrouped)]:
+        def l12(p, f, r, rc=rc):
+            ro, rd, t0_ = R._ray_tmin(state_r, r)
+            si, sv = R._select_segments(mcfg, rc, state_r, ro, rd, t0_, f)
+            return R._select_subsegments(mcfg, rc, state_r, ro, rd, t0_, f,
+                                         si, sv)[0]
+        fn = jax.jit(l12)
+        results[name] = _time(lambda: fn(params, fused, rays),
+                              lambda o: float(o[0, 0, 0]), args.iters)
+        print(json.dumps({name: round(results[name], 3)}), flush=True)
+
+    print(json.dumps({k: round(v, 3) for k, v in sorted(results.items())}))
+
+
+if __name__ == "__main__":
+    main()
