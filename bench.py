@@ -130,7 +130,7 @@ def bench_train():
                           "seconds_per_step": round(dt, 4)}))
 
 
-def main():
+def main(chunk: int = 8192):
     import jax
     import jax.numpy as jnp
 
@@ -140,8 +140,8 @@ def main():
     from contrastive_lift_tpu.renderer import render as R
 
     grid = 192
-    chunk = 8192  # measured fastest (16k: 327k rays/s, 8k: 350k — smaller
-    # working sets keep the gather tables hotter)
+    # default chunk 8192: measured fastest pre-bucketing (16k: 327k rays/s,
+    # 8k: 350k); re-sweep with --chunk after balance-point changes
     cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
                  instance_loss_mode="slow_fast", use_DINO_style=True,
                  chunk=chunk, seed=0, precision="bf16").resolve_epochs()
@@ -213,4 +213,7 @@ if __name__ == "__main__":
     if "--train" in sys.argv:
         bench_train()
     else:
-        main()
+        chunk_arg = 8192
+        if "--chunk" in sys.argv:
+            chunk_arg = int(sys.argv[sys.argv.index("--chunk") + 1])
+        main(chunk_arg)

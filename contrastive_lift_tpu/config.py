@@ -152,7 +152,11 @@ class Config:
     # drift, unlike head_topk_train). Stride is in samples at the TRAINING
     # step ratio: 8 keeps the level-1 test conservative at step_ratio 0.5
     # ((stride/2)*ratio + 1 interp voxel = 3 <= the 4-voxel block dilation).
-    # 0 disables (exact dense sampling, reference-parity mode).
+    # 0 disables (exact dense sampling, reference-parity mode). Caveat: on a
+    # field still above the alpha floor EVERYWHERE the nearest-N-occupied
+    # budget degrades to a nearest-samples prefix; the aux phases only start
+    # at instance_optimization_epoch (several trained epochs in), where
+    # fields are carved — set 0 for experiments that move that epoch to 0.
     ess_train_stride: int = 8
     ess_train_segments: int = 32
     # opt-in train-time top-k head compaction (renderer _aux_topk /

@@ -168,7 +168,7 @@ def _build_coarse_occ(dense: jnp.ndarray, supervoxel: int):
         padding=((1, 1),) * 3)
     cdim = dilated.shape
     # width-8 replication: row gathers beat sub-row scalar gathers ~2x (v5e)
-    return jnp.repeat(dilated.reshape(-1, 1), 8, axis=1), cdim, dilated
+    return jnp.repeat(dilated.reshape(-1, 1), 8, axis=1), cdim, dilated, coarse
 
 
 def _build_occ_group(vals3d: jnp.ndarray) -> jnp.ndarray:
@@ -271,7 +271,8 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                       with_atlas: bool = False,
                       atlas_dtype=jnp.float32,
                       with_occ_groups: bool = False,
-                      tight_pads: Tuple[int, int] = (2, 3)) -> FusedGrids:
+                      tight_pads: Tuple[int, int] = (2, 3),
+                      feat_raw_thres: Optional[float] = None) -> FusedGrids:
     """Densify every grid branch present (density always; appearance/semantic/
     instance/feature when they are VM branches rather than xyz-MLPs).
 
@@ -298,9 +299,10 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
             else:
                 features[name] = grid
     coarse_occ, coarse_dim, occ_tight = (None, None, None)
-    occ_group, occ_group_tight = (None, None)
+    occ_group, occ_group_tight, undilated3d = (None, None, None)
     if with_occupancy:
-        coarse_occ, coarse_dim, dilated3d = _build_coarse_occ(dense, supervoxel)
+        coarse_occ, coarse_dim, dilated3d, undilated3d = _build_coarse_occ(
+            dense, supervoxel)
         occ_tight, tight3d = _build_tight_occ(dense, supervoxel, tight_pads)
         if with_occ_groups:
             occ_group = _build_occ_group(dilated3d)
@@ -313,7 +315,17 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
     if compact_capacity is not None:
         if occ_raw_thres is None or coarse_occ is None:
             raise ValueError("compaction needs with_occupancy + occ_raw_thres")
-        fused = build_compact_tables(fused, occ_raw_thres, compact_capacity)
+        # feature rows compact against the UNDILATED brick max at the (higher)
+        # feat_raw_thres when given: exact for composited maps — a sample's
+        # interp corners stay in its own brick, so any sample whose weight
+        # clears the raymarch threshold finds its brick kept, and samples in
+        # dropped bricks are below it and masked anyway (2-3x fewer rows ->
+        # faster head-feature gathers; see PERFORMANCE.md gather model)
+        mask = None
+        if feat_raw_thres is not None:
+            mask = undilated3d.reshape(-1) > feat_raw_thres
+        fused = build_compact_tables(fused, occ_raw_thres, compact_capacity,
+                                     mask=mask)
     return fused
 
 
@@ -401,7 +413,8 @@ def sample_density_brick(fused: FusedGrids, xyz: jnp.ndarray,
 
 
 def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,
-                         capacity: int) -> FusedGrids:
+                         capacity: int,
+                         mask: Optional[jnp.ndarray] = None) -> FusedGrids:
     """Compact the corner-feature tables down to cells inside occupied bricks.
 
     Layout: brick (supervoxel block) with slot s>0 owns rows
@@ -418,7 +431,8 @@ def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,
     gx, gy, gz = fused.grid_dim
     sv = fused.supervoxel
     B = sv ** 3
-    mask = occ0 > occ_raw_thres
+    if mask is None:
+        mask = occ0 > occ_raw_thres
     (ids,) = jnp.nonzero(mask, size=capacity, fill_value=C)
     slots = jnp.arange(1, capacity + 1, dtype=jnp.int32)
     slot0 = jnp.zeros((C,), jnp.int32).at[ids].set(slots, mode="drop")
@@ -472,29 +486,39 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
     thres = raw_occupancy_threshold(
         mcfg.splus_density_shift, float(state_r.step_size),
         rcfg.distance_scale, rcfg.occ_alpha_thres)
-    n_occ = int(_cached_counter(thres, has_dense)(params, dense_override))
-    cap = compact_capacity_bucket(n_occ)
+    # feature rows compact at the (higher) raymarch weight threshold against
+    # the UNDILATED brick max — exact for composited maps (see
+    # build_fused_grids) and 2-3x fewer rows than the dilated occupancy set
+    feat_thres = raw_occupancy_threshold(
+        mcfg.splus_density_shift, float(state_r.step_size),
+        rcfg.distance_scale, rcfg.raymarch_weight_thres)
+    n_feat = int(_cached_counter(feat_thres, has_dense,
+                                 undilated=True)(params, dense_override))
+    cap = compact_capacity_bucket(n_feat)
     return _cached_builder(mcfg, corner, dtype_name, cap, thres,
-                           has_dense, pads)(params, dense_override)
+                           has_dense, pads, feat_thres)(params, dense_override)
 
 
 @functools.lru_cache(maxsize=16)
-def _cached_counter(thres: float, has_dense: bool = False):
+def _cached_counter(thres: float, has_dense: bool = False,
+                    undilated: bool = False):
     def _count(p, dense_override):
         dense = dense_override if has_dense else build_dense_density(p)
-        occ, _, _ = _build_coarse_occ(dense, 4)
-        return jnp.sum(occ[:, 0] > thres)
+        occ, _, _, und = _build_coarse_occ(dense, 4)
+        vals = und.reshape(-1) if undilated else occ[:, 0]
+        return jnp.sum(vals > thres)
     return jax.jit(_count)
 
 
 @functools.lru_cache(maxsize=16)
 def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False,
-                    tight_pads=(2, 3)):
+                    tight_pads=(2, 3), feat_raw_thres=None):
     return jax.jit(lambda p, dense_override: build_fused_grids(
         p, mcfg, feature_dtype=jnp.dtype(dtype_name), corner_features=corner,
         with_occupancy=True, compact_capacity=cap, occ_raw_thres=thres,
         dense_override=dense_override if has_dense else None,
-        with_atlas=True, with_occ_groups=True, tight_pads=tight_pads))
+        with_atlas=True, with_occ_groups=True, tight_pads=tight_pads,
+        feat_raw_thres=feat_raw_thres))
 
 
 def build_density_only(params: dict, with_atlas: bool = False,
@@ -514,7 +538,7 @@ def build_density_only(params: dict, with_atlas: bool = False,
     atlas = _build_brick_atlas(dense) if with_atlas else None
     coarse_occ, coarse_dim = (None, None)
     if with_occupancy:
-        coarse_occ, coarse_dim, _ = _build_coarse_occ(dense, 4)
+        coarse_occ, coarse_dim, _, _ = _build_coarse_occ(dense, 4)
     return FusedGrids(_cell_corner_grid(dense), dense.shape, {}, {},
                       coarse_occ=coarse_occ, coarse_dim=coarse_dim,
                       brick_atlas=atlas)

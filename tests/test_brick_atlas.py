@@ -240,6 +240,51 @@ def test_grouped_occupancy_matches_ungrouped():
         np.testing.assert_array_equal(np.asarray(v_g).ravel(), np.asarray(v_u))
 
 
+def test_tight_feature_compaction_exact():
+    """Compacting feature rows against the UNDILATED brick max at the
+    raymarch weight threshold keeps maps identical to the loose (dilated,
+    occ-threshold) compaction: every sample the weight mask keeps finds its
+    features, and dropped bricks only ever hold masked samples."""
+    mcfg, params, rcfg0, state_r = _model(grid=48)
+    lin = np.linspace(-1, 1, 48, dtype=np.float32)
+    shell = (np.abs(np.sqrt(lin[:, None, None]**2 + lin[None, :, None]**2
+                            + lin[None, None, :]**2) - 0.5) < 0.07)
+    dense = jnp.asarray(np.where(shell, 11.0, 0.0), jnp.float32)
+    rcfg = dataclasses.replace(rcfg0, coarse_stride=8, max_segments=24,
+                               sub_stride=4, max_subsegments=32, head_topk=16)
+
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    loose = fg.build_fused_grids(params, mcfg, corner_features=("appearance",),
+                                 with_occupancy=True, with_atlas=True,
+                                 dense_override=dense)
+    n_occ = fg.count_occupied_bricks(loose, thres)
+    loose = fg.build_compact_tables(loose, thres,
+                                    fg.compact_capacity_bucket(n_occ))
+    tight = fg.build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                                  feature_dtype=jnp.float32,
+                                  dense_override=dense)
+    # genuinely fewer rows
+    assert (tight.compact_feature_cells["appearance"].shape[0]
+            < loose.compact_feature_cells["appearance"].shape[0])
+
+    rng = np.random.default_rng(9)
+    o = rng.uniform(-0.2, 0.2, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((256, 1), 0.01, np.float32),
+         np.full((256, 1), 3.0, np.float32)], -1))
+    out_l = R.render_rays(params, mcfg, rcfg, state_r, rays, None, False,
+                          fused=loose)
+    out_t = R.render_rays(params, mcfg, rcfg, state_r, rays, None, False,
+                          fused=tight)
+    np.testing.assert_allclose(np.asarray(out_t["rgb"]),
+                               np.asarray(out_l["rgb"]), atol=1e-5)
+
+
 def test_heavy_light_bucketing_matches():
     """Two static-shape fine passes (heavy/light ray bucketing) reproduce the
     single-budget maps exactly when the light budget covers every non-heavy

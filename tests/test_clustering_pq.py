@@ -195,3 +195,40 @@ def test_pq_parity_with_reference_impl():
                                 allow_unknown_preds_category=True)
         np.testing.assert_allclose(ours, [float(r) for r in ref], atol=1e-9,
                                    err_msg=f"trial {trial}")
+
+
+def test_hdbscan_fallback_recovers_blobs():
+    """use_dbscan path (VERDICT r2 weak #7): sklearn's HDBSCAN stands in for
+    the reference's hdbscan package (render_panopli.py --use_dbscan); on
+    well-separated blobs + noise the boundary semantics the reference relies
+    on (min_samples=1, allow_single_cluster, noise -> nearest centroid via
+    the -1 channel) must hold."""
+    from contrastive_lift_tpu.inference.cluster import cluster
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0], [0.0, 3.0, 0.0]],
+                       np.float32)
+    blobs = [c + 0.05 * rng.standard_normal((600, 3)).astype(np.float32)
+             for c in centers]
+    noise = rng.uniform(-1, 4, (25, 3)).astype(np.float32)
+    raw = np.concatenate(blobs + [noise])
+    # thing-feature layout: channel 0 = -inf marks thing pixels
+    # (create_instances_from_semantics; reference render_panopli.py:422-427)
+    feats = np.concatenate(
+        [np.full((raw.shape[0], 1), -np.inf, np.float32), raw], axis=1)
+    onehot = cluster(feats, bandwidth=0.2, num_images=1, use_dbscan=True,
+                     use_silverman=False, cluster_size=200)[0]
+    labels = onehot.argmax(-1)
+    # channel 0 is the noise/-1 channel; every blob maps to one clean label
+    blob_labels = [np.bincount(labels[i * 600:(i + 1) * 600]).argmax()
+                   for i in range(3)]
+    assert len(set(blob_labels)) == 3
+    for i in range(3):
+        purity = (labels[i * 600:(i + 1) * 600] == blob_labels[i]).mean()
+        assert purity > 0.98
+
+    # single-blob edge: allow_single_cluster semantics keep one cluster
+    one_raw = np.concatenate(
+        [np.full((600, 1), -np.inf, np.float32), blobs[0]], axis=1)
+    one = cluster(one_raw, bandwidth=0.2, num_images=1, use_dbscan=True,
+                  use_silverman=False, cluster_size=200)[0]
+    assert one.argmax(-1).max() >= 1  # clustered, not all-noise

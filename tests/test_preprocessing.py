@@ -269,3 +269,65 @@ def test_map_panoptic_coco_name_remap(tmp_path):
                              frame_names=["0000"])
     sem = np.array(Image.open(scene / "m2f_semantics" / "0000.png"))
     assert sem[0, 0] == 1 and sem[5, 1] == 5
+
+
+def test_dmnerf_export_matches_reference_loop(tmp_path):
+    """Vectorized dm-nerf combined-mask export equals the reference's
+    per-class masking loop (preprocess_scannet.py:839-855) on a mixed
+    stuff/thing frame, and the full driver writes the expected artifacts."""
+    from contrastive_lift_tpu.data.preprocessing.exports import (
+        create_instances_for_dmnerf, dmnerf_instance_map, write_replica_traj,
+        export_for_semantic_nerf)
+    from contrastive_lift_tpu.data.preprocessing.m2f import load_thing_flags
+
+    rng = np.random.default_rng(0)
+    thing_flags = load_thing_flags()
+    stuff_classes = [i for i, t in enumerate(thing_flags) if not t]
+    thing_classes = [i for i, t in enumerate(thing_flags) if t]
+    sem = rng.choice(stuff_classes[:4] + thing_classes[:3], (16, 20))
+    inst = np.where(np.isin(sem, thing_classes), rng.integers(1, 5, (16, 20)),
+                    0)
+
+    # reference-style oracle loop
+    want = np.zeros_like(inst)
+    for c in np.unique(sem):
+        if c in stuff_classes:
+            want[sem == c] = stuff_classes.index(c)
+        else:
+            for u in np.unique(inst[sem == c]):
+                if u != 0:
+                    want[inst == u] = len(stuff_classes) + u
+    i2s = {}
+    got = dmnerf_instance_map(sem, inst, stuff_classes, i2s)
+    np.testing.assert_array_equal(got, want)
+    for u in np.unique(inst[inst != 0]):
+        assert (len(stuff_classes) + int(u)) in i2s
+
+    # driver + companion exports on a tiny scene layout
+    scene = tmp_path / "scene"
+    for sub in ("m2f_notta_semantics", "m2f_notta_instance", "color", "pose",
+                "intrinsic"):
+        (scene / sub).mkdir(parents=True)
+    for i in range(3):
+        Image.fromarray(sem.astype(np.uint8)).save(
+            scene / "m2f_notta_semantics" / f"{i}.png")
+        Image.fromarray(inst.astype(np.uint8)).save(
+            scene / "m2f_notta_instance" / f"{i}.png")
+        Image.fromarray(np.zeros((16, 20, 3), np.uint8)).save(
+            scene / "color" / f"{i}.jpg")
+        np.savetxt(scene / "pose" / f"{i}.txt", np.eye(4))
+    np.savetxt(scene / "intrinsic" / "intrinsic_color.txt", np.eye(4))
+    (scene / "splits.json").write_text('{"train": ["0", "1"], "val": ["2"]}')
+
+    out = create_instances_for_dmnerf(scene)
+    assert len(list(out.iterdir())) == 3
+    assert (scene / "dmnerf_i2s_no_correspondences.pkl").exists()
+    traj = write_replica_traj(scene)
+    rows = traj.read_text().strip().splitlines()
+    assert len(rows) == 3 and len(rows[0].split()) == 16
+    sn = export_for_semantic_nerf(scene, tmp_path / "sn" / "Sequence_1")
+    assert (sn / "rgb" / "0000.jpg").exists()
+    assert (sn / "traj_w_c.txt").exists()
+    import json as _json
+    assert _json.loads((sn / "splits.json").read_text())["train"] == ["0000",
+                                                                     "0001"]

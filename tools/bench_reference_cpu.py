@@ -11,7 +11,18 @@ chunk size (2048, inference/render_panopli.py).
 Optional heavy deps of the reference (imgviz, trimesh, hdbscan, ...) are
 stubbed via a meta-path finder: only the model + renderer modules run.
 
-Usage: python tools/bench_reference_cpu.py [reference_root]
+``--train`` instead times the reference TRAINING step (VERDICT r2 next #3):
+phase-1 forward+losses+backward+Adam on the main partition, the segment
+stream, and the phase-2 slow-fast instance pass, wired exactly as
+trainer/train_panopli_tensorf.py:148-228 — at the same operating point
+bench.py --train uses (128^3 grid, 2048 main rays, 1024-ray instance
+bundle, 32x1024-ray segment stream, ~443 samples/ray). On this single-core
+host the full-size step takes minutes, so each phase is measured at a
+reduced ray count and extrapolated linearly (the compute is dense
+per-sample matmuls; linearity in rays holds on CPU) — the printout shows
+both the measured and the extrapolated numbers.
+
+Usage: python tools/bench_reference_cpu.py [--train] [reference_root]
 """
 import importlib.abc
 import importlib.machinery
@@ -47,11 +58,139 @@ class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         pass
 
 
+def _make_rays(rng, n, np):
+    origins = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return np.concatenate(
+        [origins, dirs, np.full((n, 1), 0.01, np.float32),
+         np.full((n, 1), 1.5, np.float32)], axis=-1)
+
+
+def bench_train(ref_root):
+    """Reference training-step phases, measured reduced and extrapolated."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, ref_root)
+    from model.loss.loss import TVLoss
+    from model.radiance_field.tensoRF import TensorVMSplit
+    from model.renderer.panopli_tensoRF_renderer import TensoRFRenderer
+
+    grid, num_classes, max_inst = 128, 21, 3
+    bbox = torch.tensor([[-1., -1., -1.], [1., 1., 1.]])
+    model = TensorVMSplit(
+        [grid] * 3, num_density_comps=[16, 16, 16],
+        num_appearance_comps=[48, 48, 48], num_semantics_comps=[32, 32, 32],
+        num_instance_comps=[32, 32, 32],
+        dim_appearance=27, dim_semantics=27, dim_instances=27,
+        splus_density_shift=-10, pe_view=2, pe_feat=2, pe_sem=0, pe_ins=0,
+        dim_mlp_color=128, dim_mlp_semantics=128, dim_mlp_instance=256,
+        num_semantic_classes=num_classes, dim_feature_instance=2 * max_inst,
+        use_semantic_mlp=True, use_instance_mlp=True,
+        output_mlp_semantics=torch.nn.Softmax(dim=-1))
+    renderer = TensoRFRenderer(bbox, tuple([grid] * 3),
+                               semantic_weight_mode="softmax")
+    renderer.update_step_size(tuple([grid] * 3))  # train step_ratio 0.5
+    with torch.no_grad():
+        lin = torch.linspace(-1, 1, grid)
+        slab = (lin.abs() < 0.12).float()
+        model.density_plane[0].data[0, 0] += 14.0 * slab[None, :]
+        model.density_line[0].data[0, 0] += 1.0
+
+    inst_params = list(model.render_instance_mlp.parameters())
+    inst_ids = {id(p) for p in inst_params}
+    main_params = [p for p in model.parameters() if id(p) not in inst_ids]
+    opt_main = torch.optim.Adam(main_params, lr=5e-3, betas=(0.9, 0.99))
+    opt_inst = torch.optim.Adam(inst_params, lr=5e-4, betas=(0.9, 0.99))
+    ce = torch.nn.CrossEntropyLoss(reduction="none")
+    tv = TVLoss()
+    rng = np.random.default_rng(0)
+
+    def timed(fn, iters=2):
+        fn()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        return (time.perf_counter() - t0) / iters
+
+    # phase 1 (main rays): reduced 512 of 2048 -> x4
+    n_main, full_main = 512, 2048
+    rays_m = torch.from_numpy(_make_rays(rng, n_main, np))
+    rgbs = torch.rand(n_main, 3)
+    sem_t = torch.randint(1, num_classes, (n_main,))
+    confs = torch.rand(n_main)
+
+    def phase1():
+        opt_main.zero_grad(set_to_none=True)
+        out_rgb, out_sem, _, _, _, _ = renderer(model, rays_m, 1.0, False, True)
+        loss = torch.nn.MSELoss()(out_rgb, rgbs)
+        cfg_tv = type("C", (), dict(late_semantic_optimization=0,
+                                    instance_optimization_epoch=0,
+                                    lambda_tv_density=0.1,
+                                    lambda_tv_appearance=0.1,
+                                    lambda_tv_semantics=0.1,
+                                    lambda_tv_instances=0.1))()
+        loss = loss + model.total_tv_loss(tv, cfg_tv, 1)
+        loss = loss + 0.1 * (ce(out_sem, sem_t) * confs).mean()
+        loss.backward()
+        opt_main.step()
+
+    t1 = timed(phase1)
+
+    # segment stream: reduced 2 of 32 segments (1024 rays each) -> x16
+    n_seg, full_seg = 2, 32
+    rays_s = torch.from_numpy(_make_rays(rng, n_seg * 1024, np))
+    group = torch.arange(n_seg).repeat_interleave(1024)
+
+    def segment():
+        opt_main.zero_grad(set_to_none=True)
+        feats = renderer.forward_segment_feature(model, rays_s, 1.0, True)
+        means = torch.zeros(n_seg, feats.shape[-1])
+        means.index_add_(0, group, feats)
+        target = (means / 1024)[group].argmax(-1)
+        loss = ce(feats, target).mean()
+        loss.backward()
+        opt_main.step()
+
+    t2 = timed(segment, iters=1)
+
+    # phase 2 (instance bundle): full size (1 image x 1024 rays)
+    rays_i = torch.from_numpy(_make_rays(rng, 1024, np))
+    labels = torch.randint(0, 3, (1024,))
+
+    def phase2():
+        opt_inst.zero_grad(set_to_none=True)
+        feats, _ = renderer.forward_instance_feature(model, rays_i, 1.0, True)
+        half = feats.shape[-1] // 2
+        fast, slow = feats[:, :half], feats[:, half:].detach()
+        # slow-fast contrastive core (train_panopli_tensorf.py:304-311)
+        fm = torch.zeros(1024, dtype=torch.bool)
+        fm[:512] = True
+        lm = labels[fm].unsqueeze(1) == labels[~fm].unsqueeze(0)
+        sim = torch.exp(-torch.cdist(fast[fm], slow[~fm], p=2))
+        logits = torch.exp(sim)
+        prob = (logits * lm).sum(-1) / logits.sum(-1)
+        loss = -torch.log(prob[prob.ne(0)]).mean()
+        loss.backward()
+        opt_inst.step()
+
+    t3 = timed(phase2)
+
+    full = t1 * (full_main / n_main) + t2 * (full_seg / n_seg) + t3
+    print(f"reference torch CPU train phases (1 thread, measured): "
+          f"main[{n_main} rays] {t1:.2f}s, segment[{n_seg}x1024] {t2:.2f}s, "
+          f"instance[1024] {t3:.2f}s")
+    print(f"extrapolated full reference step (2048 main + 32x1024 segment + "
+          f"1024 instance): {full:.1f}s = {1.0/full:.4f} steps/s/core")
+
+
 def main():
     import numpy as np
     import torch
 
-    ref_root = sys.argv[1] if len(sys.argv) > 1 else "/root/reference"
+    args = [a for a in sys.argv[1:] if a != "--train"]
+    ref_root = args[0] if args else "/root/reference"
     sys.meta_path.insert(0, _StubFinder())
     import tqdm
     tqdm.tqdm = lambda x, **k: x
@@ -59,6 +198,11 @@ def main():
     ballpark.business = lambda *a, **k: ""
     import torch_efficient_distloss
     torch_efficient_distloss.eff_distloss = lambda w, mid, d: (w * 0).sum()
+
+    import os
+    torch.set_num_threads(os.cpu_count() or 1)
+    if "--train" in sys.argv[1:]:
+        return bench_train(ref_root)
 
     sys.path.insert(0, ref_root)
     from model.radiance_field.tensoRF import TensorVMSplit
