@@ -95,9 +95,12 @@ def bench_train():
         ("main+instance+segment", all_gates, {}),
         # dense-parity mode: exact reference sampling for the aux passes
         ("all+ess_off", all_gates, {"ess_train_stride": 0}),
-        # opt-in train-time top-k (Config.head_topk_train=64): heads run on
-        # the 64 highest-weight samples of ~443 per ray — exact once the
-        # field is surface-peaked; composable with ESS
+        # train-time top-k head compaction at k=64 — representative of what
+        # the Trainer's per-stage auto-calibration (Config.
+        # head_topk_train_auto, default on) picks on a carved field: k =
+        # max above-threshold count + margin, exact while counts stay <= k
+        # (this bench's random-init field is nearly empty, so calibrating
+        # in-bench would pick an unrepresentatively small k)
         ("all+topk64", all_gates, {"head_topk": 64}),
     ]
     params_host = jax.tree.map(np.asarray, params)  # train steps donate state

@@ -673,31 +673,33 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
 def _aux_topk(rcfg: RenderConfig, weight, xyz_n, z_vals):
     """Weight-sorted top-k compaction for the stop-grad aux passes.
 
-    Exact whenever <= k samples per ray clear raymarch_weight_thres (the
-    reference's boolean-indexing sparsity holds ~95% of samples below it,
-    panopli_tensoRF_renderer.py:103); opt-in via head_topk on the train rcfg
-    (Config.head_topk_train) because early-training fields are not yet
-    surface-peaked.
+    Exact whenever <= k samples per ray clear raymarch_weight_thres: the
+    reference only evaluates heads on above-threshold samples
+    (panopli_tensoRF_renderer.py:103, boolean indexing), so dropping
+    below-threshold samples from the composite changes nothing. Enabled
+    either explicitly (Config.head_topk_train) or by the Trainer's per-stage
+    auto-calibration (Config.head_topk_train_auto), which sizes k from a
+    probe of the above-threshold counts with margin. Returns the guardrail
+    ``tail`` = fraction of rays whose above-threshold count exceeds k (0 ⇒
+    this batch was compacted exactly).
     """
     R, S = weight.shape
     if rcfg.head_topk is None or rcfg.head_topk >= S:
-        return weight, xyz_n, z_vals
+        return weight, xyz_n, z_vals, jnp.zeros((), jnp.float32)
     k = rcfg.head_topk
+    count = jnp.sum(weight > rcfg.raymarch_weight_thres, axis=-1)
+    tail = jnp.mean((count > k).astype(jnp.float32))
     w_k, idx = jax.lax.top_k(weight, k)
     xyz_k = jnp.take_along_axis(xyz_n, idx[..., None], axis=1)
     z_k = jnp.take_along_axis(z_vals, idx, axis=1)
-    return w_k, xyz_k, z_k
+    return w_k, xyz_k, z_k, tail
 
 
-def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
-                             state: RenderState, rays: jnp.ndarray,
-                             rng: Optional[jax.Array] = None, is_train: bool = True,
-                             fused: Optional[FusedGrids] = None):
-    """Instance-embedding pass with no-grad density/weights.
-
-    Returns (instance_map [R, D], surface points_xyz [R, 3]).
-    Reference: panopli_tensoRF_renderer.py:178-217.
-    """
+def aux_density_weights(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
+                        state: RenderState, rays, rng, is_train: bool,
+                        fused: Optional[FusedGrids]):
+    """Stop-grad density/weights for the aux passes (train-time ESS when the
+    fused grids carry occupancy). Returns (xyz_n, z_vals, weight)."""
     if (fused is not None and fused.coarse_occ is not None
             and rcfg.coarse_stride is not None):
         # train-time empty-space skipping (Config.ess_train_stride): density
@@ -709,9 +711,24 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
             params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
             fused=fused)
-    weight = jax.lax.stop_gradient(weight)
-    distance_map = jax.lax.stop_gradient(jnp.sum(weight * z_vals, -1))
-    weight, xyz_n, z_vals = _aux_topk(rcfg, weight, xyz_n, z_vals)
+    return xyz_n, z_vals, jax.lax.stop_gradient(weight)
+
+
+def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
+                             state: RenderState, rays: jnp.ndarray,
+                             rng: Optional[jax.Array] = None, is_train: bool = True,
+                             fused: Optional[FusedGrids] = None,
+                             return_tail: bool = False):
+    """Instance-embedding pass with no-grad density/weights.
+
+    Returns (instance_map [R, D], surface points_xyz [R, 3]); with
+    ``return_tail`` also the _aux_topk guardrail scalar.
+    Reference: panopli_tensoRF_renderer.py:178-217.
+    """
+    xyz_n, z_vals, weight = aux_density_weights(
+        params, mcfg, rcfg, state, rays, rng, is_train, fused)
+    distance_map = jnp.sum(weight * z_vals, -1)
+    weight, xyz_n, z_vals, tail = _aux_topk(rcfg, weight, xyz_n, z_vals)
     R, S = weight.shape
     flat = xyz_n.reshape(-1, 3)
     app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
@@ -728,28 +745,24 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     instance_map = composite(weight, instances)
 
     points_xyz = rays[:, 0:3] + distance_map[:, None] * rays[:, 3:6]
-    return instance_map, jax.lax.stop_gradient(points_xyz)
+    points_xyz = jax.lax.stop_gradient(points_xyz)
+    if return_tail:
+        return instance_map, points_xyz, tail
+    return instance_map, points_xyz
 
 
 def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
                             state: RenderState, rays: jnp.ndarray,
                             rng: Optional[jax.Array] = None, is_train: bool = True,
-                            fused: Optional[FusedGrids] = None):
+                            fused: Optional[FusedGrids] = None,
+                            return_tail: bool = False):
     """Semantic-logit pass with detached weights for the segment-grouping loss.
 
     Reference: panopli_tensoRF_renderer.py:259-300.
     """
-    if (fused is not None and fused.coarse_occ is not None
-            and rcfg.coarse_stride is not None):
-        xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = \
-            _two_level_density(mcfg, rcfg, state, rays, fused, rng,
-                               is_train)[:8]
-    else:
-        xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
-            params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
-            fused=fused)
-    weight = jax.lax.stop_gradient(weight)
-    weight, xyz_n, z_vals = _aux_topk(rcfg, weight, xyz_n, z_vals)
+    xyz_n, z_vals, weight = aux_density_weights(
+        params, mcfg, rcfg, state, rays, rng, is_train, fused)
+    weight, xyz_n, z_vals, tail = _aux_topk(rcfg, weight, xyz_n, z_vals)
     R, S = weight.shape
     flat = xyz_n.reshape(-1, 3)
     app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
@@ -764,4 +777,7 @@ def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     segments = tf.render_semantics(params, mcfg, flat, distilled_for_heads)
     segments = jnp.where(app_mask, segments, 0.0).reshape(R, S, -1)
     segment_map = composite(weight, segments)
-    return _semantic_map_postprocess(rcfg, segment_map)
+    segment_map = _semantic_map_postprocess(rcfg, segment_map)
+    if return_tail:
+        return segment_map, tail
+    return segment_map

@@ -25,6 +25,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -77,6 +78,7 @@ class Trainer:
         self.start_epoch = 0
         self._step_fn = None
         self._step_key = None
+        self._aux_k = None
         self._render_fn = None
         self._preserve_opt_once = False  # set by restore(); survives one rebuild
         from ..utils.logger import make_logger, snapshot_source
@@ -125,11 +127,57 @@ class Trainer:
 
     # -- stage management ---------------------------------------------------
 
+    def _calibrate_aux_topk(self, gates):
+        """Per-stage head top-k for the stop-grad aux passes.
+
+        Probes the max per-ray count of samples above raymarch_weight_thres
+        through the current field (the reference's boolean head mask,
+        panopli_tensoRF_renderer.py:103) and buckets it with margin — the
+        compaction in renderer._aux_topk is exact while counts stay <= k,
+        and the step's aux_head_tail metric guards the contract. Returns
+        None when dense evaluation is just as good (uncarved field) or the
+        feature is off.
+        """
+        cfg = self.cfg
+        explicit = int(getattr(cfg, "head_topk_train", 0))
+        if explicit:
+            return explicit
+        if (not getattr(cfg, "head_topk_train_auto", True)
+                or not (gates.instances_on or gates.segments_on)):
+            return None
+        from .step import _aux_density_grids, _aux_rcfg
+        rcfg_aux = _aux_rcfg(cfg, self.rcfg)
+        S = (rcfg_aux.max_segments * rcfg_aux.coarse_stride
+             if rcfg_aux.coarse_stride else rcfg_aux.n_samples)
+        probe = jnp.asarray(
+            self.main_sampler.sample(self.rng, min(4096, 2 * cfg.batch_size))
+            ["rays"])
+        mcfg, state_r = self.mcfg, self.state_r
+
+        def count_fn(p, r):
+            fused = _aux_density_grids(p, cfg)
+            w = R.aux_density_weights(p, mcfg, rcfg_aux, state_r, r, None,
+                                      False, fused)[2]
+            return jnp.max(jnp.sum(w > rcfg_aux.raymarch_weight_thres, -1))
+
+        cnt = int(jax.jit(count_fn)(self.state.params, probe))
+        k = int(np.ceil((cnt * 1.25 + 8) / 16.0) * 16)
+        return k if k < S else None
+
     def _rebuild_stage(self, epoch: int):
         """Re-jit the step + reset optimizer state after any shape change."""
         gates = gates_for_epoch(self.cfg, epoch)
+        aux_k = self._calibrate_aux_topk(gates)
         key = (self.grid_dim, gates, self.rcfg.n_samples)
         if key == self._step_key and self._step_fn is not None:
+            if aux_k != self._aux_k:
+                # only the calibrated aux head budget moved: re-jit the step
+                # without touching optimizer state (no reference optimizer
+                # event corresponds to this)
+                self._aux_k = aux_k
+                self._step_fn = make_train_step(
+                    self.cfg, self.mcfg, self.rcfg, gates, self.class_weights,
+                    self.state.params, aux_head_topk=aux_k)
             return
         params = self.state.params
         if self._preserve_opt_once:
@@ -142,8 +190,10 @@ class Trainer:
             self.state = TrainState(params, fresh.opt_state_main,
                                     fresh.opt_state_inst, fresh.step)
         self._replicate_state()
+        self._aux_k = aux_k
         self._step_fn = make_train_step(self.cfg, self.mcfg, self.rcfg, gates,
-                                        self.class_weights, params)
+                                        self.class_weights, params,
+                                        aux_head_topk=aux_k)
         # hoisted inference renderer for validate/visualize — one trace per
         # stage instead of one per call (VERDICT r1 weak #4)
         mcfg, rcfg = self.mcfg, self.rcfg

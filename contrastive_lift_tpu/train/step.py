@@ -100,8 +100,9 @@ def main_phase_loss(params, cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
 
 
 def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
-                       rng, class_weights):
-    """Segment-grouping loss (reference trainer :185-195).
+                       rng, class_weights, aux_head_topk=None):
+    """Segment-grouping loss (reference trainer :185-195). Returns
+    (loss, topk_tail guardrail).
 
     The segment stream is large (batch_size_segments x max_rays_segments rays,
     each with n_samples points); rendering it in one shot would hold tens of
@@ -117,18 +118,21 @@ def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
     chunks = rays_p.reshape(-1, chunk, rays.shape[1])
 
     fused = _aux_density_grids(params, cfg)
-    rcfg_aux = _aux_rcfg(cfg, rcfg)
+    rcfg_aux = _aux_rcfg(cfg, rcfg, aux_head_topk)
 
     @jax.checkpoint
     def render_chunk(r):
         return R.render_segment_features(params, mcfg, rcfg_aux, state_r, r,
-                                         rng, is_train=True, fused=fused)
+                                         rng, is_train=True, fused=fused,
+                                         return_tail=True)
 
-    seg_map = jax.lax.map(render_chunk, chunks).reshape(rays_p.shape[0], -1)[:n]
-    return L.segment_grouping_loss(
+    seg_map, tails = jax.lax.map(render_chunk, chunks)
+    seg_map = seg_map.reshape(rays_p.shape[0], -1)[:n]
+    loss = L.segment_grouping_loss(
         seg_map, batch_seg["group"], batch_seg["confidences"],
         cfg.batch_size_segments, class_weights, cfg.segment_grouping_mode,
         valid=batch_seg.get("valid"))
+    return loss, jnp.max(tails)
 
 
 def _aux_density_grids(params, cfg):
@@ -147,7 +151,8 @@ def _aux_density_grids(params, cfg):
         params, with_occupancy=bool(getattr(cfg, "ess_train_stride", 0))))
 
 
-def _aux_rcfg(cfg, rcfg: R.RenderConfig) -> R.RenderConfig:
+def _aux_rcfg(cfg, rcfg: R.RenderConfig,
+              aux_head_topk=None) -> R.RenderConfig:
     """Render config for the stop-grad passes: train-time two-level ESS.
 
     Conservative at the 0.5 training step ratio: the level-1 test margin
@@ -155,15 +160,21 @@ def _aux_rcfg(cfg, rcfg: R.RenderConfig) -> R.RenderConfig:
     dilation — 3 <= 4 at the default stride 8 (with slack for mildly
     non-cubic voxels; Config.ess_train_stride docs that contract). The sub
     level is off: its 2-voxel margin is too tight at ratio 0.5.
+
+    ``aux_head_topk`` (Trainer auto-calibration, Config.head_topk_train_auto)
+    additionally sets the weight-top-k head budget for these passes — exact
+    while per-ray above-threshold counts stay <= k (renderer._aux_topk).
     """
     import dataclasses
+    repl = {}
     stride = int(getattr(cfg, "ess_train_stride", 0))
-    if not stride or not getattr(cfg, "fused_aux_density", True):
-        return rcfg
-    return dataclasses.replace(
-        rcfg, coarse_stride=stride,
-        max_segments=int(getattr(cfg, "ess_train_segments", 32)),
-        sub_stride=None)
+    if stride and getattr(cfg, "fused_aux_density", True):
+        repl.update(coarse_stride=stride,
+                    max_segments=int(getattr(cfg, "ess_train_segments", 32)),
+                    sub_stride=None)
+    if aux_head_topk and rcfg.head_topk is None:
+        repl.update(head_topk=int(aux_head_topk))
+    return dataclasses.replace(rcfg, **repl) if repl else rcfg
 
 
 def _interp_slow(params: dict, coeff, use_proj: bool) -> dict:
@@ -191,8 +202,10 @@ def _interp_slow(params: dict, coeff, use_proj: bool) -> dict:
     return out
 
 
-def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng):
+def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng,
+                        aux_head_topk=None):
     """Phase-2 loss over the per-image contrastive bundles (reference :210-221).
+    Returns (summed loss, topk_tail guardrail).
 
     batch_inst: rays [I,R,8], labels [I,R] (compact ids), confidences [I,R],
     valid [I,R]. The reference's python loop over images becomes a vmap.
@@ -208,15 +221,16 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng)
     rngs = jax.random.split(rng, num_images)
     coeffs = jnp.power(0.9, jnp.arange(num_images, dtype=jnp.float32))
     fused = _aux_density_grids(params, cfg)
-    rcfg_aux = _aux_rcfg(cfg, rcfg)
+    rcfg_aux = _aux_rcfg(cfg, rcfg, aux_head_topk)
 
     def one_image(rays, labels, confs, valid, k, coeff):
         if cfg.instance_loss_mode == "slow_fast":
             p_img = _interp_slow(params, coeff, mcfg.use_proj)
         else:
             p_img = params
-        feats, points_xyz = R.render_instance_features(
-            p_img, mcfg, rcfg_aux, state_r, rays, k, is_train=True, fused=fused)
+        feats, points_xyz, tail = R.render_instance_features(
+            p_img, mcfg, rcfg_aux, state_r, rays, k, is_train=True, fused=fused,
+            return_tail=True)
         if cfg.instance_loss_mode == "slow_fast":
             half = mcfg.dim_feature_instance // 2
             fast, slow = feats[:, :half], feats[:, half:]
@@ -224,7 +238,7 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng)
                 fast, slow = tf.apply_proj(p_img, fast, slow)
             slow = jax.lax.stop_gradient(slow)
             return L.slow_fast_loss(fast, slow, labels, confs,
-                                    cfg.max_labels_per_image, valid=valid)
+                                    cfg.max_labels_per_image, valid=valid), tail
         if cfg.instance_loss_mode == "contrastive":
             if cfg.use_delta:
                 feats = points_xyz + feats
@@ -232,24 +246,28 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng)
             if cfg.use_delta:
                 loss = loss + 0.1 * jnp.mean(
                     jnp.linalg.norm(feats - points_xyz, axis=-1))
-            return loss
+            return loss, tail
         if cfg.instance_loss_mode == "linear_assignment":
-            return L.linear_assignment_loss(feats, labels, confs,
-                                            cfg.max_labels_per_image, valid=valid)
+            return L.linear_assignment_loss(
+                feats, labels, confs, cfg.max_labels_per_image,
+                valid=valid), tail
         raise NotImplementedError(cfg.instance_loss_mode)
 
-    losses = jax.vmap(one_image)(batch_inst["rays"], batch_inst["labels"],
-                                 batch_inst["confidences"], batch_inst["valid"],
-                                 rngs, coeffs)
-    return jnp.sum(losses)
+    losses, tails = jax.vmap(one_image)(
+        batch_inst["rays"], batch_inst["labels"], batch_inst["confidences"],
+        batch_inst["valid"], rngs, coeffs)
+    return jnp.sum(losses), jnp.max(tails)
 
 
 def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
                     gates: TrainGates, class_weights, params,
-                    donate: bool = True):
+                    donate: bool = True, aux_head_topk=None):
     """Build the jitted train step for one (stage, gates) combination.
 
     ``params`` is only used for its pytree structure (optax partition labels).
+    ``aux_head_topk``: per-stage calibrated top-k head budget for the
+    stop-grad aux passes (Trainer auto-calibration); metrics carry the
+    ``aux_head_tail`` guardrail (0 ⇒ compaction was exact this step).
     """
     main_tx, inst_tx, _ = make_optimizers(cfg, params)
 
@@ -267,10 +285,13 @@ def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
                     p, cfg, mcfg, rcfg, state_r, gates, batch_main, rng_main,
                     lambda_dist_reg, class_weights)
                 if gates.segments_on and batch_seg is not None:
-                    seg = segment_phase_loss(p, cfg, mcfg, rcfg, state_r,
-                                             batch_seg, rng_seg, class_weights)
+                    seg, seg_tail = segment_phase_loss(
+                        p, cfg, mcfg, rcfg, state_r, batch_seg, rng_seg,
+                        class_weights, aux_head_topk)
                     loss = loss + cfg.lambda_semantics * cfg.lambda_segment * seg
                     m["loss_segment"] = seg
+                    if aux_head_topk:
+                        m["aux_head_tail"] = seg_tail
                 return loss, m
 
             (loss_main, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_)
@@ -283,9 +304,13 @@ def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
         if gates.instances_on and batch_inst is not None:
             def inst_loss_fn(p):
                 return instance_phase_loss(p, cfg, mcfg, rcfg, state_r,
-                                           batch_inst, rng_inst)
+                                           batch_inst, rng_inst, aux_head_topk)
 
-            loss_inst, grads_i = jax.value_and_grad(inst_loss_fn)(params_)
+            (loss_inst, inst_tail), grads_i = jax.value_and_grad(
+                inst_loss_fn, has_aux=True)(params_)
+            if aux_head_topk:
+                metrics["aux_head_tail"] = jnp.maximum(
+                    metrics.get("aux_head_tail", 0.0), inst_tail)
             if cfg.instance_loss_mode == "slow_fast":
                 # commit slow_I: one EMA per image this step (reference runs
                 # ema_update_slownet inside the per-image loop, :213-218);

@@ -166,3 +166,60 @@ def test_linear_assignment_mode_runs(scene):
                           inst_s.sample(nrng, 1), None,
                           jax.random.PRNGKey(0), 1.0, 0.0)
     assert np.isfinite(float(metrics["loss_clustering"]))
+
+
+def test_aux_topk_auto_exact_and_guardrail(small_cfg, scene):
+    """Auto-calibrated aux head top-k (Config.head_topk_train_auto): with k
+    covering every above-threshold sample the aux losses are EXACTLY the
+    dense ones (the reference masks heads below raymarch_weight_thres,
+    panopli_tensoRF_renderer.py:103) and aux_head_tail == 0; an undersized k
+    raises the guardrail."""
+    from contrastive_lift_tpu.renderer import render as R
+    from contrastive_lift_tpu.train.step import _aux_density_grids, _aux_rcfg
+
+    cfg = small_cfg
+    mcfg, params, rcfg, state_r, weights = _setup(cfg, scene)
+    state = init_train_state(cfg, params)
+    main_s = RayPoolSampler(scene.train_frames, scene.num_semantic_classes)
+    inst_s = InstanceBundleSampler(scene.train_frames, cfg.max_rays_instances,
+                                   cfg.max_labels_per_image)
+    seg_s = SegmentBundleSampler(scene.train_frames, cfg.max_rays_segments)
+    nrng = np.random.default_rng(3)
+    warm = make_train_step(cfg, mcfg, rcfg,
+                           TrainGates(semantics_on=False), weights, params)
+    for i in range(15):
+        state, _ = warm(state, state_r, main_s.sample(nrng, cfg.batch_size),
+                        None, None, jax.random.PRNGKey(2000 + i), 1.0, 0.0)
+
+    bm = main_s.sample(nrng, cfg.batch_size)
+    bi = inst_s.sample(nrng, cfg.batch_size_contrastive)
+    bs = seg_s.sample(nrng, cfg.batch_size_segments)
+
+    # covering k measured on the actual aux rays (no-perturb weights)
+    rcfg_aux = _aux_rcfg(cfg, rcfg)
+    fused = _aux_density_grids(state.params, cfg)
+    all_rays = jnp.concatenate([jnp.asarray(bi["rays"]).reshape(-1, 8),
+                                jnp.asarray(bs["rays"]).reshape(-1, 8)])
+    w = R.aux_density_weights(state.params, mcfg, rcfg_aux, state_r,
+                              all_rays, None, False, fused)[2]
+    cnt = int(jnp.max(jnp.sum(w > rcfg_aux.raymarch_weight_thres, -1)))
+    k_cover = cnt + 8
+
+    gates = TrainGates(semantics_on=True, instances_on=True, segments_on=True)
+    args = (state, state_r, bm, bi, bs, jax.random.PRNGKey(777), 1.0, 0.001)
+    dense = make_train_step(cfg, mcfg, rcfg, gates, weights, params,
+                            donate=False)
+    compact = make_train_step(cfg, mcfg, rcfg, gates, weights, params,
+                              donate=False, aux_head_topk=k_cover)
+    _, m_d = dense(*args)
+    _, m_c = compact(*args)
+    assert float(m_c["aux_head_tail"]) == 0.0
+    np.testing.assert_allclose(float(m_c["loss_segment"]),
+                               float(m_d["loss_segment"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_c["loss_clustering"]),
+                               float(m_d["loss_clustering"]), rtol=1e-5)
+
+    tiny = make_train_step(cfg, mcfg, rcfg, gates, weights, params,
+                           donate=False, aux_head_topk=max(1, cnt // 4))
+    _, m_t = tiny(*args)
+    assert float(m_t["aux_head_tail"]) > 0.0

@@ -233,7 +233,7 @@ def test_instance_phase_golden_parity(ref, monkeypatch):
 
     def loss_fn(p):
         return instance_phase_loss(p, cfg, mcfg, rcfg, state_r, batch_inst,
-                                   jax.random.PRNGKey(0))
+                                   jax.random.PRNGKey(0))[0]
 
     loss_ours, grads_ours = jax.value_and_grad(loss_fn)(params)
     np.testing.assert_allclose(float(loss_ours), float(loss_ref), rtol=2e-3)

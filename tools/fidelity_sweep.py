@@ -1,0 +1,121 @@
+"""Operating-point sweep: throughput AND fidelity for ESS/head knobs.
+
+For each candidate (occ_alpha_thres, head_topk/semins) this renders the
+bench field both through the production fast path and through the dense
+fp32 reference path on a probe, reporting rays/s plus the fidelity numbers
+PERFORMANCE.md quotes (rgb p99 err, opacity max err, semantic argmax
+mismatch, guardrail tails). Picks are made from this table, not vibes.
+
+Usage: python tools/fidelity_sweep.py [--iters 20]
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--probe", type=int, default=2048)
+    ap.add_argument("--ref-cache", default="/tmp/fidelity_ref.npz",
+                    help="npz cache of the dense-reference probe maps")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from contrastive_lift_tpu.ops.fused_grid import build_render_grids
+    from contrastive_lift_tpu.renderer import render as R
+    from tools.profile_render_stages import make_bench_point
+
+    cfg, mcfg, params, rcfg0, state_r, rays, dense = make_bench_point()
+    chunk = rays.shape[0]
+
+    # Dense fp32 ground truth on a probe subset (no ESS, no top-k, f32 heads).
+    # compact=True is exact for composited maps (samples in non-occupied
+    # bricks have zero density -> zero weight, so their feature reads are
+    # masked out) and keeps the f32 tables inside the 16 GB chip — the full
+    # 193^3 uncompacted f32 tables OOM. The result is cached to disk because
+    # the shared remote chip sporadically refuses the multi-GB build peak.
+    probe = rays[:args.probe]
+    ref_cache = Path(args.ref_cache)
+    if ref_cache.exists():
+        z = np.load(ref_cache)
+        ref_rgb, ref_op, ref_sem = z["rgb"], z["op"], z["sem"]
+        print(f"loaded dense reference from {ref_cache}", file=sys.stderr)
+    else:
+        rcfg_dense = dataclasses.replace(
+            rcfg0, coarse_stride=None, sub_stride=None, head_topk=None,
+            head_topk_semins=None, head_dtype="float32")
+        # build the f32 tables on CPU (the densify peak exceeds chip HBM),
+        # then ship the ~1.2 GB result to the device
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            fused_plain = build_render_grids(
+                params, mcfg, rcfg_dense, state_r, compact=True,
+                feature_dtype=jnp.float32,
+                dense_override=jax.device_get(dense))
+        fused_plain = jax.device_put(fused_plain, jax.devices()[0])
+        ref_fn = jax.jit(lambda p, f, r: R.render_rays(
+            p, mcfg, rcfg_dense, state_r, r, None, False, fused=f))
+        # chunk the dense probe: 1324 samples x dense f32 256-wide heads on
+        # all rays at once holds multi-GB activations
+        ref_parts = [ref_fn(params, fused_plain, probe[i:i + 256])
+                     for i in range(0, probe.shape[0], 256)]
+        ref_rgb = np.concatenate([np.asarray(r["rgb"]) for r in ref_parts])
+        ref_op = np.concatenate([np.asarray(r["opacity"]) for r in ref_parts])
+        ref_sem = np.concatenate(
+            [np.asarray(r["semantics"]) for r in ref_parts]).argmax(-1)
+        del fused_plain, ref_parts  # free the f32 tables before the sweep
+        np.savez(ref_cache, rgb=ref_rgb, op=ref_op, sem=ref_sem)
+
+    candidates = [
+        {"occ": 1e-5, "k": 24, "k2": 12},   # current production point
+        {"occ": 3e-5, "k": 24, "k2": 12},
+        {"occ": 1e-4, "k": 24, "k2": 12},
+        {"occ": 3e-5, "k": 16, "k2": 8},
+        {"occ": 1e-5, "k": 32, "k2": 16},
+    ]
+    for c in candidates:
+        rcfg = dataclasses.replace(rcfg0, occ_alpha_thres=c["occ"],
+                                   head_topk=c["k"], head_topk_semins=c["k2"])
+        fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                                   feature_dtype=jnp.bfloat16,
+                                   dense_override=dense)
+        rcfg = R.occ_grouping_for(rcfg, state_r)
+        rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused)
+        fn = jax.jit(lambda p, f, r, rc=rcfg: R.render_rays(
+            p, mcfg, rc, state_r, r, None, False, fused=f))
+        out = fn(params, fused, rays)
+        float(out["rgb"][0, 0])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(params, fused, rays)
+        float(out["rgb"][0, 0])
+        dt = (time.perf_counter() - t0) / args.iters
+
+        fast = fn(params, fused, probe)
+        rgb = np.asarray(fast["rgb"])
+        op = np.asarray(fast["opacity"])
+        sem = np.asarray(fast["semantics"]).argmax(-1)
+        print(json.dumps({
+            "occ": c["occ"], "k": c["k"], "k2": c["k2"],
+            "budgets": [rcfg.max_segments, rcfg.max_subsegments,
+                        rcfg.max_subsegments_light],
+            "rays_per_s": round(chunk / dt, 1),
+            "rgb_p99": round(float(np.quantile(np.abs(rgb - ref_rgb), 0.99)), 6),
+            "opacity_max": round(float(np.max(np.abs(op - ref_op))), 6),
+            "sem_mismatch": round(float((sem != ref_sem).mean()), 6),
+            "budget_tail": round(float(out["budget_tail"]), 6),
+            "head_tail": round(float(out["head_tail"]), 6),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
