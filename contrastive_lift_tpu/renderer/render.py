@@ -27,7 +27,8 @@ from ..models import tensorf as tf
 from ..ops.compositing import composite, distortion_loss, raw_to_alpha
 from ..ops.fused_grid import (FusedGrids, sample_coarse_occ,
                               sample_density_brick, sample_density_fused,
-                              sample_feature_fused, sample_occ_grouped)
+                              sample_feature_fused, sample_occ_bits_grouped,
+                              sample_occ_grouped)
 
 
 @dataclass(frozen=True)
@@ -223,11 +224,15 @@ def occ_grouping_for(rcfg: RenderConfig, state: RenderState,
     margin = 4 * supervoxel * min_unit * (1 + 1e-6)
     adv1 = rcfg.coarse_stride * step
     g1 = min(8, int(margin / adv1) + 1) if adv1 > 0 else 0
-    # L2 grouping is measured SLOWER on v5e (n_sub=2 halves the gathers but
-    # the lane select costs more than it saves: l1l2 7.3 -> 8.3 ms at the
-    # bench point — tools/profile_render_stages.py); keep it off. L1's
-    # 5-per-row grouping wins (3.7 -> 3.2 ms).
-    return replace(rcfg, occ_group_l1=g1 if g1 >= 2 else 0, occ_group_l2=False)
+    # L2 grouping (one row per segment serving its n_sub sub-tests) was
+    # SLOWER with f32 neighborhood rows (the 128-lane select cost more than
+    # the halved gathers saved); with the BIT-PACKED rows the select is a
+    # 4-lane word pick, so it wins — the renderer gates on the bit tables
+    # being present and falls back to per-test gathers otherwise. Feasible
+    # when one segment's sub-midpoint span fits the 5-block neighborhood.
+    g2_ok = (rcfg.sub_stride is not None
+             and (rcfg.coarse_stride - rcfg.sub_stride) * step <= margin)
+    return replace(rcfg, occ_group_l1=g1 if g1 >= 2 else 0, occ_group_l2=g2_ok)
 
 
 def _ray_tmin(state: RenderState, rays: jnp.ndarray):
@@ -257,19 +262,26 @@ def _select_segments(mcfg, rcfg: RenderConfig, state: RenderState,
     S_c = -(-rcfg.n_samples // cs)
     k_seg = min(rcfg.max_segments, S_c)
     R = rays_o.shape[0]
-    group = rcfg.occ_group_l1 if fused.occ_group is not None else 0
+    has_group = (fused.occ_group is not None
+                 or fused.occ_bits_group is not None)
+    group = rcfg.occ_group_l1 if has_group else 0
     S_cp = -(-S_c // group) * group if group >= 2 else S_c
     steps_c = (jnp.arange(S_cp, dtype=jnp.float32) * cs + 0.5 * cs) * state.step_size
     z_c = t_min[:, None] + steps_c[None, :]
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
     xyz_cn = normalize_coordinates(state, xyz_c)
-    if group >= 2:
+    if group >= 2 and fused.occ_bits_group is not None:
+        # bit-packed rows carry the TEST RESULT (the alpha threshold is
+        # baked at build); pad midpoints are just further along the ray
+        occupied = sample_occ_bits_grouped(fused, xyz_cn, group)[:, :S_c]
+    elif group >= 2:
         # pad midpoints are just further along the ray (same spacing, so the
         # group-span guarantee holds); their occupancy is sliced away
         raw_up = sample_occ_grouped(fused, xyz_cn, group)[:, :S_c]
+        occupied = _occ_alpha_test(mcfg, rcfg, state, raw_up)
     else:
         raw_up = sample_coarse_occ(fused, xyz_cn.reshape(-1, 3)).reshape(R, S_cp)
-    occupied = _occ_alpha_test(mcfg, rcfg, state, raw_up)
+        occupied = _occ_alpha_test(mcfg, rcfg, state, raw_up)
     # nearest occupied segments first; top_k of descending score = ascending t
     score = occupied.astype(jnp.float32) * (S_c - jnp.arange(S_c, dtype=jnp.float32))
     top_scores, seg_idx = jax.lax.top_k(score, k_seg)       # [R, k_seg]
@@ -296,14 +308,19 @@ def _select_subsegments(mcfg, rcfg: RenderConfig, state: RenderState,
     z_s = t_min[:, None] + sub_steps * state.step_size
     xyz_s = rays_o[:, None, :] + rays_d[:, None, :] * z_s[..., None]
     xyz_sn = normalize_coordinates(state, xyz_s)
-    if rcfg.occ_group_l2 and fused.occ_group_tight is not None:
-        # one neighborhood row per SEGMENT serves its n_sub sub-tests (they
-        # span <= one segment = a few voxels; gated by occ_grouping_for)
+    if rcfg.occ_group_l2 and fused.occ_bits_group_tight is not None:
+        # one bit-packed neighborhood row per SEGMENT serves its n_sub
+        # sub-tests (they span <= one segment = a few voxels; gated by
+        # occ_grouping_for); the alpha threshold is baked into the bits
+        occ2 = sample_occ_bits_grouped(fused, xyz_sn, n_sub, tight=True)
+    elif rcfg.occ_group_l2 and fused.occ_group_tight is not None:
         raw_up2 = sample_occ_grouped(fused, xyz_sn, n_sub, tight=True)
+        occ2 = _occ_alpha_test(mcfg, rcfg, state, raw_up2)
     else:
         raw_up2 = sample_coarse_occ(fused, xyz_sn.reshape(-1, 3),
                                     tight=True).reshape(R, cand)
-    occ2 = (_occ_alpha_test(mcfg, rcfg, state, raw_up2)
+        occ2 = _occ_alpha_test(mcfg, rcfg, state, raw_up2)
+    occ2 = (occ2
             & jnp.repeat(seg_valid, n_sub, axis=1)
             & (sub_steps < S))
     # candidates are already time-ordered (segments ascend in t, subs

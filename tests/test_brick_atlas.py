@@ -240,6 +240,60 @@ def test_grouped_occupancy_matches_ungrouped():
         np.testing.assert_array_equal(np.asarray(v_g).ravel(), np.asarray(v_u))
 
 
+def test_bitpacked_occupancy_matches_f32():
+    """Bit-packed grouped occupancy (the alpha test baked into uint32
+    neighborhood words, fused_grid.sample_occ_bits_grouped) selects
+    byte-identical samples to the f32 per-test path at both levels, and the
+    full three-level density pass is bit-for-bit unchanged."""
+    mcfg, params, rcfg0, state_r = _model(grid=48)
+    lin = np.linspace(-1, 1, 48, dtype=np.float32)
+    shell = (np.abs(np.sqrt(lin[:, None, None]**2 + lin[None, :, None]**2
+                            + lin[None, None, :]**2) - 0.5) < 0.07)
+    dense = jnp.asarray(np.where(shell, 11.0, 0.0), jnp.float32)
+
+    base = dataclasses.replace(rcfg0, coarse_stride=16, max_segments=12,
+                               sub_stride=8, max_subsegments=16)
+    thres = fg.raw_occupancy_threshold(
+        mcfg.splus_density_shift, float(state_r.step_size),
+        base.distance_scale, base.occ_alpha_thres)
+    fused_f32 = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                     with_atlas=True, with_occ_groups=True,
+                                     dense_override=dense)
+    fused_bits = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                      with_atlas=True, with_occ_groups=True,
+                                      dense_override=dense,
+                                      occ_bits_thres=thres)
+    assert fused_bits.occ_bits_group is not None
+    assert fused_bits.occ_group is None  # f32 rows skipped when bits built
+
+    # raw test equality on grouped probes honoring the span contract
+    rng = np.random.default_rng(6)
+    base_p = rng.uniform(-1.05, 1.05, (16, 1, 3))
+    probes = jnp.asarray(base_p + rng.uniform(-0.05, 0.05, (16, 10, 3)),
+                         jnp.float32)
+    for tight in (False, True):
+        bit = fg.sample_occ_bits_grouped(fused_bits, probes, group=2,
+                                         tight=tight)
+        raw = fg.sample_coarse_occ(fused_f32, probes.reshape(-1, 3),
+                                   tight=tight)
+        np.testing.assert_array_equal(np.asarray(bit).ravel(),
+                                      np.asarray(raw) > thres)
+
+    # full three-level pass: grouped-bits == ungrouped-f32, all outputs
+    o = rng.uniform(-0.2, 0.2, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((128, 1), 0.01, np.float32),
+         np.full((128, 1), 3.0, np.float32)], -1))
+    grouped = R.occ_grouping_for(base, state_r)
+    assert grouped.occ_group_l1 >= 2 and grouped.occ_group_l2
+    out_u = R._two_level_density(mcfg, base, state_r, rays, fused_f32)
+    out_b = R._two_level_density(mcfg, grouped, state_r, rays, fused_bits)
+    for a, b in zip(out_u, out_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_tight_feature_compaction_exact():
     """Compacting feature rows against the UNDILATED brick max at the
     raymarch weight threshold keeps maps identical to the loose (dilated,
