@@ -100,7 +100,8 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     size).
     """
     fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
-    if fused is not None and fused.occ_group is not None:
+    if fused is not None and (fused.occ_group is not None
+                              or fused.occ_bits_group is not None):
         rcfg = R.occ_grouping_for(rcfg, state_r)
     if (auto_budget and fused is not None and frames
             and rcfg.coarse_stride is not None and fused.coarse_occ is not None):
@@ -134,6 +135,7 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     pending = None
     tails = []
     head_tails = []
+    dedup_tails = []
 
     def _drain(dev_maps):
         return {k: np.asarray(v) for k, v in dev_maps.items()}
@@ -154,6 +156,7 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
         outs = [fn(params, fused, state_r, r) for r in chunks]
         tails.extend(o["budget_tail"] for o in outs)
         head_tails.extend(o["head_tail"] for o in outs)
+        dedup_tails.extend(o["dedup_tail"] for o in outs)
         cat = {k: jnp.concatenate([o[k] for o in outs])[:n] for k in keys}
         for v in cat.values():
             try:
@@ -179,6 +182,15 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                 f"segment carries weight {worst:.3g} on some ray — rendered "
                 f"views exceed the calibration probe; raise max_segments/"
                 f"max_subsegments or re-probe with these frames")
+    if dedup_tails:
+        worst_d = float(jnp.max(jnp.stack(dedup_tails)))
+        if worst_d > 0:
+            import warnings
+            warnings.warn(
+                f"head_dedup_cells budget exceeded: {worst_d:.3%} of live "
+                f"head samples hit an overflowed unique-cell run and read a "
+                f"clamped row — raise head_dedup_cells or re-calibrate with "
+                f"these frames")
     if head_tails:
         worst_k = float(jnp.max(jnp.stack(head_tails)))
         if worst_k > rcfg.raymarch_weight_thres * 2:

@@ -720,3 +720,87 @@ def sample_feature_fused(fused: FusedGrids, name: str, xyz: jnp.ndarray,
     w = _corner_weights(f)[..., None]                       # [P, 8, 1]
     out = jnp.sum(rows * w, axis=1)                         # [P, pad(F)]
     return out if out_dim is None else out[:, :out_dim]
+
+
+def head_dedup_slots(fused: FusedGrids, xyz_n: jnp.ndarray, live: jnp.ndarray,
+                     cap: int):
+    """Per-ray unique-CELL slots for the head feature gathers.
+
+    The top-k head samples of a ray cluster around surfaces at a fraction of
+    a voxel per step, so several samples share one interpolation cell (~2.5x
+    redundancy measured at the bench point). Along the time axis each axis'
+    cell index is monotone, so equal-cell LIVE samples form contiguous runs —
+    first-occurrence flags need no sort.
+
+    xyz_n [R,S,3] time-ordered samples, live [R,S] (weight above the head
+    mask threshold) -> (slot [R,S] int32 in [0,cap), uid [R,cap] flat cell
+    key per unique run, tail = fraction of live samples whose run index
+    overflowed cap — 0 means the dedup is EXACT this batch)."""
+    R, S, _ = xyz_n.shape
+    gx, gy, gz = fused.grid_dim
+    i, _ = _cell_coords(fused.grid_dim, xyz_n.reshape(-1, 3))
+    key = ((i[:, 0] * (gy - 1) + i[:, 1]) * (gz - 1) + i[:, 2]).reshape(R, S)
+    prev_key = jnp.pad(key[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    prev_live = jnp.pad(live[:, :-1], ((0, 0), (1, 0)), constant_values=False)
+    fresh = live & ((key != prev_key) | ~prev_live)
+    slotc = jnp.cumsum(fresh.astype(jnp.int32), axis=1) - 1
+    n_live = jnp.maximum(jnp.sum(live), 1)
+    tail = jnp.sum(live & (slotc >= cap)) / n_live.astype(jnp.float32)
+    slot = jnp.clip(slotc, 0, cap - 1)
+    hot = fresh[:, :, None] & (slotc[:, :, None]
+                               == jnp.arange(cap, dtype=jnp.int32))
+    uid = jnp.sum(jnp.where(hot, key[:, :, None], 0), axis=1)      # [R,cap]
+    return slot, uid, tail
+
+
+def head_dedup_run_counts(fused: FusedGrids, xyz_n: jnp.ndarray,
+                          live: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray count of live unique-cell RUNS (the budget head_dedup_slots
+    needs) — the calibration probe for RenderConfig.head_dedup_cells."""
+    R, S, _ = xyz_n.shape
+    gx, gy, gz = fused.grid_dim
+    i, _ = _cell_coords(fused.grid_dim, xyz_n.reshape(-1, 3))
+    key = ((i[:, 0] * (gy - 1) + i[:, 1]) * (gz - 1) + i[:, 2]).reshape(R, S)
+    prev_key = jnp.pad(key[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    prev_live = jnp.pad(live[:, :-1], ((0, 0), (1, 0)), constant_values=False)
+    fresh = live & ((key != prev_key) | ~prev_live)
+    return jnp.sum(fresh, axis=1)
+
+
+def sample_feature_dedup(fused: FusedGrids, name: str, uid: jnp.ndarray,
+                         slot_k: jnp.ndarray, xyz_k: jnp.ndarray,
+                         out_dim: int) -> jnp.ndarray:
+    """Head features at the top-k samples via one gather per UNIQUE cell.
+
+    uid [R,cap] flat cell keys (head_dedup_slots), slot_k [R,k] each sample's
+    unique-run index, xyz_k [R,k,3] the sample coords (for the in-cell
+    fractions). The expensive wide-row gather runs R*cap times instead of
+    R*k; samples then pick their row from the small per-ray block (a gather
+    on an R*cap-row table, much faster per row). Exact whenever
+    head_dedup_slots reported tail == 0."""
+    R, cap = uid.shape
+    k = slot_k.shape[1]
+    gx, gy, gz = fused.grid_dim
+    uid_f = uid.reshape(-1)
+    iz = uid_f % (gz - 1)
+    iy = (uid_f // (gz - 1)) % (gy - 1)
+    ix = uid_f // ((gz - 1) * (gy - 1))
+    i_u = jnp.stack([ix, iy, iz], axis=-1)                      # [R*cap, 3]
+    cells = fused.compact_feature_cells.get(name)
+    if cells is not None:
+        rows_u = jnp.take(cells, _compact_row_index(fused, i_u), axis=0)
+    else:
+        rows_u = jnp.take(fused.feature_cells[name], uid_f, axis=0)
+    W = rows_u.shape[-1]
+    # redistribute unique rows to samples as a one-hot batched matmul — a
+    # take_along_axis over the 256-lane axis lowers to a per-lane gather on
+    # TPU (measured +5 ms at the bench point); the [k, cap] x [cap, W] dot
+    # rides the MXU instead (~0.8 GFlop per chunk, negligible)
+    hot = (slot_k[..., None]
+           == jnp.arange(cap, dtype=jnp.int32)).astype(rows_u.dtype)
+    rows_k = jnp.einsum("rkc,rcw->rkw", hot, rows_u.reshape(R, cap, W))
+    _, f = _cell_coords(fused.grid_dim, xyz_k.reshape(-1, 3))
+    rows = rows_k.reshape(R * k, 8, -1).astype(jnp.float32)
+    w = _corner_weights(f)[..., None]
+    out = jnp.sum(rows * w, axis=1)
+    return out[:, :out_dim]

@@ -25,8 +25,9 @@ import numpy as np
 
 from ..models import tensorf as tf
 from ..ops.compositing import composite, distortion_loss, raw_to_alpha
-from ..ops.fused_grid import (FusedGrids, sample_coarse_occ,
-                              sample_density_brick, sample_density_fused,
+from ..ops.fused_grid import (FusedGrids, head_dedup_slots,
+                              sample_coarse_occ, sample_density_brick,
+                              sample_density_fused, sample_feature_dedup,
                               sample_feature_fused, sample_occ_bits_grouped,
                               sample_occ_grouped)
 
@@ -93,6 +94,16 @@ class RenderConfig:
     # per-test gathers. Selected segments are identical either way.
     occ_group_l1: int = 0
     occ_group_l2: bool = False
+    # unique-cell dedup for the head feature gathers: gather the wide corner
+    # rows once per live unique-cell RUN per ray (equal-cell samples are
+    # contiguous in time — no sort) and redistribute per sample. EXACT while
+    # per-ray run counts stay <= cap (dedup_tail output guards it). OPT-IN
+    # and measured SLOWER at the bench point (8.7 vs 4.8 ms: dead-gap
+    # splitting pushes the exact cap to ~head_topk, and the one-hot
+    # redistribution costs 3.8 ms — tools/microbench_dedup.py); only worth
+    # trying on fields whose run counts sit far below k. None = per-sample
+    # gathers (default). Requires head_topk.
+    head_dedup_cells: Optional[int] = None
 
     def __post_init__(self):
         if self.head_topk_semins is not None and self.head_topk is None:
@@ -516,6 +527,13 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
     # near-weightless samples, inflating k well past what map fidelity needs
     # (measured: count-picked k drops throughput 365k -> 286k with no
     # measurable fidelity gain over the direct-fidelity-tuned default).
+    # head_dedup_cells is deliberately NOT auto-enabled: on the bench field
+    # the calibrated live-RUN cap lands at 22 vs head_topk=24 (dead-gap
+    # splitting inflates runs ~2x past the 9.6-mean sorted-unique cell
+    # count), and the one-hot row redistribution alone measures 3.8 ms —
+    # the full dedup path ran 8.7 ms vs 4.8 ms for per-sample gathers
+    # (tools/microbench_dedup.py). Kept as an opt-in for fields whose
+    # surfaces are axis-aligned enough that runs stay far below k.
     return out
 
 
@@ -532,6 +550,18 @@ def _branch_feats(params, mcfg, fused: Optional[FusedGrids], name: str, flat):
         dim = 96 if name == "feature" else getattr(mcfg, _BRANCH_DIMS[name])
         return sample_feature_fused(fused, name, flat, out_dim=dim)
     return None
+
+
+def _branch_feats_dedup(params, mcfg, fused, name, flat, dedup, k_lim):
+    """_branch_feats, but through the unique-cell dedup gather when active
+    and the branch has corner tables (RenderConfig.head_dedup_cells)."""
+    if dedup is not None and fused is not None and (
+            name in fused.compact_feature_cells or name in fused.feature_cells):
+        uid, slot_k, xyz_k = dedup
+        dim = 96 if name == "feature" else getattr(mcfg, _BRANCH_DIMS[name])
+        return sample_feature_dedup(fused, name, uid, slot_k[:, :k_lim],
+                                    xyz_k[:, :k_lim], dim)
+    return _branch_feats(params, mcfg, fused, name, flat)
 
 
 def _semantic_map_postprocess(rcfg, semantic_map):
@@ -587,6 +617,8 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     compute_dtype = jnp.bfloat16 if rcfg.head_dtype == "bfloat16" else jnp.float32
 
     head_tail = jnp.zeros(())
+    dedup_tail = jnp.zeros(())
+    dedup = None  # (uid, slot_k, xyz_k) when unique-cell dedup is active
     if rcfg.head_topk is not None and rcfg.head_topk < S:
         k = rcfg.head_topk
         w_k, idx = jax.lax.top_k(weight, k)                       # [R, k]
@@ -602,6 +634,13 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         # are weight-sorted, so the first k2 ARE the top-k2 samples
         k2 = Sh if rcfg.head_topk_semins is None else min(rcfg.head_topk_semins, Sh)
         flat2 = xyz_k[:, :k2].reshape(-1, 3)
+        if (rcfg.head_dedup_cells is not None and fused is not None
+                and rcfg.head_dedup_cells < k and not is_train):
+            live = weight > rcfg.raymarch_weight_thres
+            slot, uid, dedup_tail = head_dedup_slots(
+                fused, xyz_n, live, rcfg.head_dedup_cells)
+            slot_k = jnp.take_along_axis(slot, idx, axis=1)
+            dedup = (uid, slot_k, xyz_k)
     else:
         head_weight = weight
         flat = xyz_n.reshape(-1, 3)
@@ -615,8 +654,9 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
 
     viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (R, Sh, 3)).reshape(-1, 3)
     rgb = tf.render_appearance(params, mcfg, viewdirs, flat, compute_dtype,
-                               feats=_branch_feats(params, mcfg, fused,
-                                                   "appearance", flat))
+                               feats=_branch_feats_dedup(params, mcfg, fused,
+                                                         "appearance", flat,
+                                                         dedup, Sh))
     rgb = jnp.where(mask_flat, rgb, 0.0).reshape(R, Sh, 3)
 
     distilled = None
@@ -624,7 +664,8 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     if mcfg.use_distilled:
         distilled = tf.render_distilled(
             params, mcfg, flat,
-            feats=_branch_feats(params, mcfg, fused, "feature", flat))
+            feats=_branch_feats_dedup(params, mcfg, fused, "feature", flat,
+                                      dedup, Sh))
         distilled = jnp.where(mask_flat, distilled, 0.0)
         distilled_for_heads = (jax.lax.stop_gradient(distilled)
                                if rcfg.feature_stop_grad else distilled)
@@ -647,10 +688,12 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     else:
         semantics = tf.render_semantics(
             params, mcfg, flat2, dfh2, compute_dtype,
-            feats=_branch_feats(params, mcfg, fused, "semantic", flat2))
+            feats=_branch_feats_dedup(params, mcfg, fused, "semantic", flat2,
+                                      dedup, k2))
         instances = tf.render_instances(
             params, mcfg, flat2, dfh2, compute_dtype,
-            feats=_branch_feats(params, mcfg, fused, "instance", flat2))
+            feats=_branch_feats_dedup(params, mcfg, fused, "instance", flat2,
+                                      dedup, k2))
     semantics = jnp.where(mask_flat2, semantics, 0.0).reshape(R, k2, -1)
     instances = jnp.where(mask_flat2, instances, 0.0).reshape(R, k2, -1)
 
@@ -684,6 +727,7 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         "rgb": rgb_map, "semantics": semantic_map, "instances": instance_map,
         "depth": depth_map, "distilled": distilled_map, "dist_reg": dist_reg,
         "opacity": opacity, "budget_tail": budget_tail, "head_tail": head_tail,
+        "dedup_tail": dedup_tail,
     }
 
 

@@ -240,6 +240,62 @@ def test_grouped_occupancy_matches_ungrouped():
         np.testing.assert_array_equal(np.asarray(v_g).ravel(), np.asarray(v_u))
 
 
+def test_head_dedup_matches_per_sample():
+    """Unique-cell head dedup (RenderConfig.head_dedup_cells) reproduces the
+    per-sample-gather render exactly when the cap covers every live run, and
+    reports dedup_tail == 0; an undersized cap raises the tail."""
+    mcfg, params, rcfg0, state_r = _model(grid=48)
+    lin = np.linspace(-1, 1, 48, dtype=np.float32)
+    shell = (np.abs(np.sqrt(lin[:, None, None]**2 + lin[None, :, None]**2
+                            + lin[None, None, :]**2) - 0.5) < 0.07)
+    dense = jnp.asarray(np.where(shell, 11.0, 0.0), jnp.float32)
+    base = dataclasses.replace(rcfg0, coarse_stride=16, max_segments=12,
+                               sub_stride=8, max_subsegments=16,
+                               head_topk=16, head_topk_semins=8)
+    fused = fg.build_render_grids(params, mcfg, base, state_r, compact=True,
+                                  dense_override=dense)
+    assert "appearance" in fused.compact_feature_cells
+
+    rng = np.random.default_rng(9)
+    o = rng.uniform(-0.2, 0.2, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((128, 1), 0.01, np.float32),
+         np.full((128, 1), 3.0, np.float32)], -1))
+
+    ref = R.render_rays(params, mcfg, base, state_r, rays, None, False,
+                        fused=fused)
+    # covering cap: measured live run counts on these rays + slack
+    out_d = R._two_level_density(mcfg, base, state_r, rays, fused)
+    runs = fg.head_dedup_run_counts(
+        fused, out_d[0], out_d[6] > base.raymarch_weight_thres)
+    cap = int(np.max(np.asarray(runs))) + 1
+    assert cap < 16  # the dedup must actually dedup something here
+    ded = dataclasses.replace(base, head_dedup_cells=cap)
+    out = R.render_rays(params, mcfg, ded, state_r, rays, None, False,
+                        fused=fused)
+    assert float(out["dedup_tail"]) == 0.0
+    for key in ("rgb", "semantics", "instances", "depth", "opacity"):
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(ref[key]), rtol=1e-5,
+                                   atol=1e-6, err_msg=key)
+
+    # undersized cap -> guardrail fires (and the render stays finite)
+    tiny = dataclasses.replace(base, head_dedup_cells=2)
+    out_t = R.render_rays(params, mcfg, tiny, state_r, rays, None, False,
+                          fused=fused)
+    assert float(out_t["dedup_tail"]) > 0.0
+    assert np.all(np.isfinite(np.asarray(out_t["rgb"])))
+
+    # calibrate_budgets picks a cap that keeps the dedup exact on the probe
+    cal = R.calibrate_budgets(mcfg, base, state_r, rays, fused)
+    if cal.head_dedup_cells is not None:
+        out_c = R.render_rays(params, mcfg, cal, state_r, rays, None, False,
+                              fused=fused)
+        assert float(out_c["dedup_tail"]) == 0.0
+
+
 def test_bitpacked_occupancy_matches_f32():
     """Bit-packed grouped occupancy (the alpha test baked into uint32
     neighborhood words, fused_grid.sample_occ_bits_grouped) selects

@@ -81,10 +81,17 @@ def main():
         {"occ": 1e-4, "k": 24, "k2": 12},
         {"occ": 3e-5, "k": 16, "k2": 8},
         {"occ": 1e-5, "k": 32, "k2": 16},
+        # finer L2 granularity: 1-voxel sub-segments hug surfaces tighter,
+        # cutting fine-stage gathers after calibration (pads auto-derive)
+        {"occ": 1e-5, "k": 24, "k2": 12, "sub": 4},
+        {"occ": 1e-5, "k": 24, "k2": 8, "sub": 4},
+        {"occ": 1e-5, "k": 24, "k2": 8},
+        {"occ": 1e-5, "k": 20, "k2": 10},
     ]
     for c in candidates:
         rcfg = dataclasses.replace(rcfg0, occ_alpha_thres=c["occ"],
-                                   head_topk=c["k"], head_topk_semins=c["k2"])
+                                   head_topk=c["k"], head_topk_semins=c["k2"],
+                                   sub_stride=c.get("sub", rcfg0.sub_stride))
         fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
                                    feature_dtype=jnp.bfloat16,
                                    dense_override=dense)
@@ -105,7 +112,7 @@ def main():
         op = np.asarray(fast["opacity"])
         sem = np.asarray(fast["semantics"]).argmax(-1)
         print(json.dumps({
-            "occ": c["occ"], "k": c["k"], "k2": c["k2"],
+            "occ": c["occ"], "k": c["k"], "k2": c["k2"], "sub": c.get("sub", 8),
             "budgets": [rcfg.max_segments, rcfg.max_subsegments,
                         rcfg.max_subsegments_light],
             "rays_per_s": round(chunk / dt, 1),
