@@ -338,7 +338,8 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                       with_occ_groups: bool = False,
                       tight_pads: Tuple[int, int] = (2, 3),
                       feat_raw_thres: Optional[float] = None,
-                      occ_bits_thres: Optional[float] = None) -> FusedGrids:
+                      occ_bits_thres: Optional[float] = None,
+                      feature_cells_per_row: int = 1) -> FusedGrids:
     """Densify every grid branch present (density always; appearance/semantic/
     instance/feature when they are VM branches rather than xyz-MLPs).
 
@@ -402,7 +403,8 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
         if feat_raw_thres is not None:
             mask = undilated3d.reshape(-1) > feat_raw_thres
         fused = build_compact_tables(fused, occ_raw_thres, compact_capacity,
-                                     mask=mask)
+                                     mask=mask,
+                                     cells_per_row=feature_cells_per_row)
     return fused
 
 
@@ -491,7 +493,8 @@ def sample_density_brick(fused: FusedGrids, xyz: jnp.ndarray,
 
 def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,
                          capacity: int,
-                         mask: Optional[jnp.ndarray] = None) -> FusedGrids:
+                         mask: Optional[jnp.ndarray] = None,
+                         cells_per_row: int = 1) -> FusedGrids:
     """Compact the corner-feature tables down to cells inside occupied bricks.
 
     Layout: brick (supervoxel block) with slot s>0 owns rows
@@ -501,6 +504,13 @@ def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,
     per-sample alpha is below occ_alpha_thres by construction).
     Jittable with static ``capacity``; occupied bricks beyond capacity would
     be silently dropped, so callers must size it via count_occupied_bricks.
+
+    ``cells_per_row`` > 1 packs that many consecutive compact cells (z-
+    adjacent within a brick) into one wider row: the table drops to 1/c the
+    rows at c x the lanes, and sample_feature_fused gathers the shared row
+    and selects the owning segment. The v5e random-gather rate cliffs on
+    table ROW COUNT (PERFORMANCE.md), so fewer, wider rows gather faster
+    when the select stays fused. Must divide sv^3.
     """
     occ0 = fused.coarse_occ[:, 0]
     C = occ0.shape[0]
@@ -525,11 +535,17 @@ def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,
     czi = jnp.clip(bz[:, None] * sv + lz.reshape(-1)[None, :], 0, gz - 2)
     cell_flat = ((cxi * (gy - 1) + cyi) * (gz - 1) + czi).reshape(-1)
 
+    if cells_per_row < 1 or B % cells_per_row:
+        raise ValueError(f"cells_per_row={cells_per_row} must divide sv^3={B}")
     compact_fc = {}
     for name, tab in fused.feature_cells.items():
         rows = jnp.take(tab, cell_flat, axis=0)
-        compact_fc[name] = jnp.concatenate(
+        packed = jnp.concatenate(
             [jnp.zeros((B, rows.shape[-1]), rows.dtype), rows])
+        if cells_per_row > 1:
+            packed = packed.reshape(packed.shape[0] // cells_per_row,
+                                    cells_per_row * packed.shape[-1])
+        compact_fc[name] = packed
     return fused._replace(feature_cells={}, slot_map=slot_map,
                           compact_feature_cells=compact_fc,
                           compact_cells=cell_flat)
@@ -538,7 +554,8 @@ def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,
 def build_render_grids(params: dict, mcfg, rcfg, state_r,
                        compact: bool = True,
                        feature_dtype=jnp.bfloat16,
-                       dense_override=None) -> FusedGrids:
+                       dense_override=None,
+                       feature_cells_per_row: int = 1) -> FusedGrids:
     """Host-side driver for the full inference fast path: corner appearance
     rows (bf16), coarse occupancy for two-level empty-space skipping, and —
     when ``compact`` — occupancy-compacted tables sized to the scene.
@@ -573,7 +590,8 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
                                  undilated=True)(params, dense_override))
     cap = compact_capacity_bucket(n_feat)
     return _cached_builder(mcfg, corner, dtype_name, cap, thres,
-                           has_dense, pads, feat_thres)(params, dense_override)
+                           has_dense, pads, feat_thres,
+                           feature_cells_per_row)(params, dense_override)
 
 
 @functools.lru_cache(maxsize=16)
@@ -589,7 +607,8 @@ def _cached_counter(thres: float, has_dense: bool = False,
 
 @functools.lru_cache(maxsize=16)
 def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False,
-                    tight_pads=(2, 3), feat_raw_thres=None):
+                    tight_pads=(2, 3), feat_raw_thres=None,
+                    feature_cells_per_row=1):
     # thres keys the cache, so the baked occupancy bits can never be reused
     # with a different alpha test (same contract as the compact slot tables)
     return jax.jit(lambda p, dense_override: build_fused_grids(
@@ -597,7 +616,8 @@ def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False,
         with_occupancy=True, compact_capacity=cap, occ_raw_thres=thres,
         dense_override=dense_override if has_dense else None,
         with_atlas=True, with_occ_groups=True, tight_pads=tight_pads,
-        feat_raw_thres=feat_raw_thres, occ_bits_thres=thres))
+        feat_raw_thres=feat_raw_thres, occ_bits_thres=thres,
+        feature_cells_per_row=feature_cells_per_row))
 
 
 def build_density_only(params: dict, with_atlas: bool = False,
@@ -697,7 +717,22 @@ def sample_feature_fused(fused: FusedGrids, name: str, xyz: jnp.ndarray,
 
     cells = fused.compact_feature_cells.get(name)
     if cells is not None:
-        rows = jnp.take(cells, _compact_row_index(fused, i), axis=0)
+        pos = _compact_row_index(fused, i)
+        cpr = 1
+        if out_dim is not None:
+            base = 8 * _corner_pad(out_dim)
+            cpr = cells.shape[1] // base
+        if cpr > 1:
+            # packed table (build_compact_tables cells_per_row): gather the
+            # shared wide row, select the owning cell segment — a (cpr-1)-
+            # deep where chain XLA fuses into the hat-product consumer
+            g = jnp.take(cells, pos // cpr, axis=0).reshape(-1, cpr, base)
+            sub = pos % cpr
+            rows = g[:, 0]
+            for s in range(1, cpr):
+                rows = jnp.where((sub == s)[:, None], g[:, s], rows)
+        else:
+            rows = jnp.take(cells, pos, axis=0)
     elif name in fused.feature_cells:
         flat_idx = (i[:, 0] * (gy - 1) + i[:, 1]) * (gz - 1) + i[:, 2]
         rows = jnp.take(fused.feature_cells[name], flat_idx, axis=0)
@@ -788,6 +823,11 @@ def sample_feature_dedup(fused: FusedGrids, name: str, uid: jnp.ndarray,
     i_u = jnp.stack([ix, iy, iz], axis=-1)                      # [R*cap, 3]
     cells = fused.compact_feature_cells.get(name)
     if cells is not None:
+        if cells.shape[1] // (8 * _corner_pad(out_dim)) > 1:
+            raise ValueError(
+                "head_dedup_cells does not support packed compact tables "
+                "(build_compact_tables cells_per_row > 1) — the per-unique-"
+                "cell gather gains nothing from packing")
         rows_u = jnp.take(cells, _compact_row_index(fused, i_u), axis=0)
     else:
         rows_u = jnp.take(fused.feature_cells[name], uid_f, axis=0)

@@ -95,6 +95,31 @@ def test_compact_features_match_full():
     assert np.all(np.asarray(f_comp)[~occ] == 0.0)
 
 
+def test_packed_compact_tables_match_unpacked():
+    """cells_per_row packing (2 and 4 cells per wider row) is a pure layout
+    change: sample_feature_fused selects the owning segment and reproduces
+    the unpacked compact tables bit-for-bit."""
+    mcfg, params, rcfg, state_r = _model()
+    rng = np.random.default_rng(3)
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale, 1e-4)
+    full = fg.build_fused_grids(params, mcfg, corner_features=("appearance",),
+                                with_occupancy=True)
+    cap = fg.compact_capacity_bucket(fg.count_occupied_bricks(full, thres))
+    comp1 = fg.build_compact_tables(full, thres, cap)
+    xyz = jnp.asarray(rng.uniform(-1, 1, (4096, 3)), jnp.float32)
+    base = fg.sample_feature_fused(comp1, "appearance", xyz,
+                                   out_dim=mcfg.dim_appearance)
+    for cpr in (2, 4):
+        compc = fg.build_compact_tables(full, thres, cap, cells_per_row=cpr)
+        tab = compc.compact_feature_cells["appearance"]
+        assert tab.shape[0] == comp1.compact_feature_cells["appearance"].shape[0] // cpr
+        got = fg.sample_feature_fused(compc, "appearance", xyz,
+                                      out_dim=mcfg.dim_appearance)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 def test_per_head_topk_prefix():
     """head_topk_semins uses the top-k2 weight samples: when every sample
     above the weight threshold fits in k2, maps are identical."""
