@@ -128,22 +128,23 @@ class Trainer:
     # -- stage management ---------------------------------------------------
 
     def _calibrate_aux_topk(self, gates):
-        """Per-stage head top-k for the stop-grad aux passes.
+        """Per-stage head top-k for every train-phase head (main + aux).
 
         Probes the max per-ray count of samples above raymarch_weight_thres
         through the current field (the reference's boolean head mask,
-        panopli_tensoRF_renderer.py:103) and buckets it with margin — the
-        compaction in renderer._aux_topk is exact while counts stay <= k,
-        and the step's aux_head_tail metric guards the contract. Returns
-        None when dense evaluation is just as good (uncarved field) or the
-        feature is off.
+        panopli_tensoRF_renderer.py:103 — the SAME forward serves training,
+        so the mask applies to the main phase too) and buckets it with
+        margin — the compaction (renderer._aux_topk for the aux passes,
+        render_rays head_topk for the main phase) is exact while counts stay
+        <= k, and the step's aux_head_tail / main_head_tail metrics guard
+        the contract. Returns None when dense evaluation is just as good
+        (uncarved field) or the feature is off.
         """
         cfg = self.cfg
         explicit = int(getattr(cfg, "head_topk_train", 0))
         if explicit:
             return explicit
-        if (not getattr(cfg, "head_topk_train_auto", True)
-                or not (gates.instances_on or gates.segments_on)):
+        if not getattr(cfg, "head_topk_train_auto", True):
             return None
         from .step import _aux_density_grids, _aux_rcfg
         rcfg_aux = _aux_rcfg(cfg, self.rcfg)

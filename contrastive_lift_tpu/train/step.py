@@ -58,8 +58,19 @@ def _gate_epoch(cfg, gates: TrainGates) -> int:
 
 def main_phase_loss(params, cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
                     state_r: R.RenderState, gates: TrainGates, batch: dict,
-                    rng, lambda_dist_reg, class_weights):
-    """Phase-1 loss (reference trainer :152-197). Returns (loss, metrics)."""
+                    rng, lambda_dist_reg, class_weights, head_topk=None):
+    """Phase-1 loss (reference trainer :152-197). Returns (loss, metrics).
+
+    ``head_topk`` (Trainer per-stage calibration) compacts the MAIN-phase
+    heads to the k highest-weight samples per ray — the reference evaluates
+    heads only where weight > raymarch_weight_thres in training too
+    (panopli_tensoRF_renderer.py:103 boolean mask, shared forward), so the
+    compaction is exact (losses AND gradients) while per-ray above-threshold
+    counts stay <= k; the ``main_head_tail`` metric guards that contract
+    (max k-th kept weight — exact when <= raymarch_weight_thres)."""
+    if head_topk and rcfg.head_topk is None:
+        import dataclasses
+        rcfg = dataclasses.replace(rcfg, head_topk=int(head_topk))
     out = R.render_rays(params, mcfg, rcfg, state_r, batch["rays"], rng, is_train=True)
     mask = batch["mask"]
     rgb = jnp.where(mask[:, None], out["rgb"], 0.0)
@@ -96,6 +107,8 @@ def main_phase_loss(params, cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
         loss = loss + cfg.lambda_semantics * loss_sem
     metrics["loss_semantics"] = loss_sem
     metrics["psnr"] = -10.0 * jnp.log10(L.mse_loss(jax.lax.stop_gradient(rgb), rgbs))
+    if head_topk:
+        metrics["main_head_tail"] = out["head_tail"]
     return loss, metrics
 
 
@@ -265,9 +278,12 @@ def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
     """Build the jitted train step for one (stage, gates) combination.
 
     ``params`` is only used for its pytree structure (optax partition labels).
-    ``aux_head_topk``: per-stage calibrated top-k head budget for the
-    stop-grad aux passes (Trainer auto-calibration); metrics carry the
-    ``aux_head_tail`` guardrail (0 ⇒ compaction was exact this step).
+    ``aux_head_topk``: per-stage calibrated top-k head budget for EVERY
+    train-phase head — the stop-grad aux passes AND the main phase (the
+    reference masks heads at the same weight threshold in all of them,
+    panopli_tensoRF_renderer.py:103); metrics carry the ``aux_head_tail`` /
+    ``main_head_tail`` guardrails (0 / <= raymarch_weight_thres ⇒ the
+    compaction was exact this step).
     """
     main_tx, inst_tx, _ = make_optimizers(cfg, params)
 
@@ -283,7 +299,7 @@ def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
             def loss_fn(p):
                 loss, m = main_phase_loss(
                     p, cfg, mcfg, rcfg, state_r, gates, batch_main, rng_main,
-                    lambda_dist_reg, class_weights)
+                    lambda_dist_reg, class_weights, head_topk=aux_head_topk)
                 if gates.segments_on and batch_seg is not None:
                     seg, seg_tail = segment_phase_loss(
                         p, cfg, mcfg, rcfg, state_r, batch_seg, rng_seg,

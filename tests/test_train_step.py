@@ -195,14 +195,20 @@ def test_aux_topk_auto_exact_and_guardrail(small_cfg, scene):
     bi = inst_s.sample(nrng, cfg.batch_size_contrastive)
     bs = seg_s.sample(nrng, cfg.batch_size_segments)
 
-    # covering k measured on the actual aux rays (no-perturb weights)
+    # covering k measured on the actual aux AND main rays (no-perturb
+    # weights) — the calibrated k now compacts the main-phase heads too
     rcfg_aux = _aux_rcfg(cfg, rcfg)
     fused = _aux_density_grids(state.params, cfg)
     all_rays = jnp.concatenate([jnp.asarray(bi["rays"]).reshape(-1, 8),
-                                jnp.asarray(bs["rays"]).reshape(-1, 8)])
+                                jnp.asarray(bs["rays"]).reshape(-1, 8),
+                                jnp.asarray(bm["rays"]).reshape(-1, 8)])
     w = R.aux_density_weights(state.params, mcfg, rcfg_aux, state_r,
                               all_rays, None, False, fused)[2]
-    cnt = int(jnp.max(jnp.sum(w > rcfg_aux.raymarch_weight_thres, -1)))
+    w_main = R.aux_density_weights(state.params, mcfg, rcfg, state_r,
+                                   jnp.asarray(bm["rays"]), None, False,
+                                   None)[2]
+    cnt = int(max(jnp.max(jnp.sum(w > rcfg_aux.raymarch_weight_thres, -1)),
+                  jnp.max(jnp.sum(w_main > rcfg.raymarch_weight_thres, -1))))
     k_cover = cnt + 8
 
     gates = TrainGates(semantics_on=True, instances_on=True, segments_on=True)
@@ -214,6 +220,11 @@ def test_aux_topk_auto_exact_and_guardrail(small_cfg, scene):
     _, m_d = dense(*args)
     _, m_c = compact(*args)
     assert float(m_c["aux_head_tail"]) == 0.0
+    # main-phase compaction guardrail: the k-th kept weight sits below the
+    # head mask threshold, so the main losses are the dense ones exactly
+    assert float(m_c["main_head_tail"]) <= rcfg.raymarch_weight_thres
+    np.testing.assert_allclose(float(m_c["loss_main"]),
+                               float(m_d["loss_main"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_c["loss_segment"]),
                                float(m_d["loss_segment"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_c["loss_clustering"]),
