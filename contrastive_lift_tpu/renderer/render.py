@@ -94,6 +94,16 @@ class RenderConfig:
     # per-test gathers. Selected segments are identical either way.
     occ_group_l1: int = 0
     occ_group_l2: bool = False
+    # L2-only selection: with use_l1=False the segment level is skipped and
+    # the tight-occupancy bit test runs over ALL sub-segment candidates of
+    # the ray (contiguous, so one bit-row gather serves l2_flat_group
+    # consecutive tests — bigger groups than the per-segment n_sub). Strictly
+    # MORE accurate than the cascade (no segment-budget truncation) and
+    # drops the L1 gather + top_k + inter-level glue; whether it is faster
+    # depends on the bit-test vs cascade overhead balance — measure. Requires
+    # sub_stride; l2_flat_group comes from occ_grouping_for.
+    use_l1: bool = True
+    l2_flat_group: int = 0
     # unique-cell dedup for the head feature gathers: gather the wide corner
     # rows once per live unique-cell RUN per ray (equal-cell samples are
     # contiguous in time — no sort) and redistribute per sample. EXACT while
@@ -120,6 +130,9 @@ class RenderConfig:
                 f"sub_stride ({self.sub_stride}): the trailing "
                 "coarse_stride % sub_stride samples of each segment would "
                 "never be covered by any sub-segment candidate")
+        if not self.use_l1 and self.sub_stride is None:
+            raise ValueError("use_l1=False (L2-only selection) requires "
+                             "sub_stride — without it no level tests remain")
 
 
 class RenderState(NamedTuple):
@@ -243,7 +256,12 @@ def occ_grouping_for(rcfg: RenderConfig, state: RenderState,
     # when one segment's sub-midpoint span fits the 5-block neighborhood.
     g2_ok = (rcfg.sub_stride is not None
              and (rcfg.coarse_stride - rcfg.sub_stride) * step <= margin)
-    return replace(rcfg, occ_group_l1=g1 if g1 >= 2 else 0, occ_group_l2=g2_ok)
+    # flat L2 group size (use_l1=False): candidates are contiguous, so the
+    # L1-style span bound applies at the sub stride
+    adv2 = (rcfg.sub_stride or 0) * step
+    g2f = min(8, int(margin / adv2) + 1) if adv2 > 0 else 0
+    return replace(rcfg, occ_group_l1=g1 if g1 >= 2 else 0, occ_group_l2=g2_ok,
+                   l2_flat_group=g2f if g2f >= 2 else 0)
 
 
 def _ray_tmin(state: RenderState, rays: jnp.ndarray):
@@ -304,36 +322,61 @@ def _select_subsegments(mcfg, rcfg: RenderConfig, state: RenderState,
                         seg_idx, seg_valid):
     """Level 2: sub-segment midpoints vs the tight-margin occupancy.
 
+    With seg_idx=None (use_l1=False) the candidates are ALL sub-segments of
+    the ray in time order — contiguous, so the bit test groups
+    ``l2_flat_group`` consecutive candidates per neighborhood-row gather
+    (L1-style grouping, larger than the per-segment n_sub).
+
     Returns (fine_steps [R, k_sub, sub], sample_valid [R, k_sub, sub])."""
     cs = rcfg.coarse_stride
     S = rcfg.n_samples
     sub = rcfg.sub_stride
     n_sub = cs // sub
-    k_seg = seg_idx.shape[1]
-    cand = k_seg * n_sub
     R = rays_o.shape[0]
-    sub_j = jnp.arange(n_sub, dtype=jnp.float32)
-    sub_steps = (seg_idx[..., None].astype(jnp.float32) * cs
-                 + sub_j[None, None, :] * sub + 0.5 * sub)  # [R,k,n_sub]
-    sub_steps = sub_steps.reshape(R, cand)
-    z_s = t_min[:, None] + sub_steps * state.step_size
-    xyz_s = rays_o[:, None, :] + rays_d[:, None, :] * z_s[..., None]
-    xyz_sn = normalize_coordinates(state, xyz_s)
-    if rcfg.occ_group_l2 and fused.occ_bits_group_tight is not None:
-        # one bit-packed neighborhood row per SEGMENT serves its n_sub
-        # sub-tests (they span <= one segment = a few voxels; gated by
-        # occ_grouping_for); the alpha threshold is baked into the bits
-        occ2 = sample_occ_bits_grouped(fused, xyz_sn, n_sub, tight=True)
-    elif rcfg.occ_group_l2 and fused.occ_group_tight is not None:
-        raw_up2 = sample_occ_grouped(fused, xyz_sn, n_sub, tight=True)
-        occ2 = _occ_alpha_test(mcfg, rcfg, state, raw_up2)
+    if seg_idx is None:
+        cand = -(-S // sub)
+        g = rcfg.l2_flat_group if fused.occ_bits_group_tight is not None else 0
+        candp = -(-cand // g) * g if g >= 2 else cand
+        # pad candidates are just further along the ray (same spacing, so
+        # the group-span guarantee holds); their occupancy is sliced away
+        sub_steps_p = (jnp.arange(candp, dtype=jnp.float32) * sub + 0.5 * sub)
+        sub_steps = jnp.broadcast_to(sub_steps_p[None, :cand], (R, cand))
+        z_s = t_min[:, None] + sub_steps_p[None, :] * state.step_size
+        xyz_s = rays_o[:, None, :] + rays_d[:, None, :] * z_s[..., None]
+        xyz_sn = normalize_coordinates(state, xyz_s)
+        if g >= 2:
+            occ2 = sample_occ_bits_grouped(fused, xyz_sn, g,
+                                           tight=True)[:, :cand]
+        else:
+            raw_up2 = sample_coarse_occ(fused, xyz_sn.reshape(-1, 3),
+                                        tight=True).reshape(R, candp)[:, :cand]
+            occ2 = _occ_alpha_test(mcfg, rcfg, state, raw_up2)
+        occ2 = occ2 & (sub_steps < S)
     else:
-        raw_up2 = sample_coarse_occ(fused, xyz_sn.reshape(-1, 3),
-                                    tight=True).reshape(R, cand)
-        occ2 = _occ_alpha_test(mcfg, rcfg, state, raw_up2)
-    occ2 = (occ2
-            & jnp.repeat(seg_valid, n_sub, axis=1)
-            & (sub_steps < S))
+        k_seg = seg_idx.shape[1]
+        cand = k_seg * n_sub
+        sub_j = jnp.arange(n_sub, dtype=jnp.float32)
+        sub_steps = (seg_idx[..., None].astype(jnp.float32) * cs
+                     + sub_j[None, None, :] * sub + 0.5 * sub)  # [R,k,n_sub]
+        sub_steps = sub_steps.reshape(R, cand)
+        z_s = t_min[:, None] + sub_steps * state.step_size
+        xyz_s = rays_o[:, None, :] + rays_d[:, None, :] * z_s[..., None]
+        xyz_sn = normalize_coordinates(state, xyz_s)
+        if rcfg.occ_group_l2 and fused.occ_bits_group_tight is not None:
+            # one bit-packed neighborhood row per SEGMENT serves its n_sub
+            # sub-tests (they span <= one segment = a few voxels; gated by
+            # occ_grouping_for); the alpha threshold is baked into the bits
+            occ2 = sample_occ_bits_grouped(fused, xyz_sn, n_sub, tight=True)
+        elif rcfg.occ_group_l2 and fused.occ_group_tight is not None:
+            raw_up2 = sample_occ_grouped(fused, xyz_sn, n_sub, tight=True)
+            occ2 = _occ_alpha_test(mcfg, rcfg, state, raw_up2)
+        else:
+            raw_up2 = sample_coarse_occ(fused, xyz_sn.reshape(-1, 3),
+                                        tight=True).reshape(R, cand)
+            occ2 = _occ_alpha_test(mcfg, rcfg, state, raw_up2)
+        occ2 = (occ2
+                & jnp.repeat(seg_valid, n_sub, axis=1)
+                & (sub_steps < S))
     # candidates are already time-ordered (segments ascend in t, subs
     # ascend within a segment), so rank = position
     score2 = occ2.astype(jnp.float32) * (cand - jnp.arange(cand, dtype=jnp.float32))
@@ -408,10 +451,15 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
     if is_train and rcfg.perturb != 0 and rng is not None:
         jitter = rcfg.perturb * jax.random.uniform(rng, (R,))
         t_min = t_min + jitter * state.step_size
-    seg_idx, seg_valid = _select_segments(mcfg, rcfg, state, rays_o, rays_d,
-                                          t_min, fused)
     use_sub = (rcfg.sub_stride is not None and rcfg.sub_stride < cs
                and fused.coarse_occ_tight is not None)
+    if use_sub and not rcfg.use_l1:
+        # L2-only selection: every sub-segment is a candidate (no segment
+        # cascade, no L1 gather/top_k) — see RenderConfig.use_l1
+        seg_idx, seg_valid = None, None
+    else:
+        seg_idx, seg_valid = _select_segments(mcfg, rcfg, state, rays_o,
+                                              rays_d, t_min, fused)
     if use_sub:
         fine_steps, sample_valid, needed = _select_subsegments(
             mcfg, rcfg, state, rays_o, rays_d, t_min, fused, seg_idx, seg_valid)
@@ -501,11 +549,17 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
     def pick(needed, cap):
         return pick_q(needed, cap, quantile)
 
-    full = replace(rcfg, max_segments=S_c, sub_stride=None)
-    w = jax.jit(lambda r: _two_level_density(
-        mcfg, full, state, r, fused)[6])(probe)
-    out = replace(rcfg, max_segments=pick(_needed_budget(w, cs, weight_eps),
-                                          S_c))
+    if not rcfg.use_l1:
+        # L2-only mode: no segment budget to calibrate (every segment is a
+        # candidate); keep max_segments at the full count so cand spans S
+        out = replace(rcfg, max_segments=S_c)
+    else:
+        full = replace(rcfg, max_segments=S_c, sub_stride=None,
+                       use_l1=True)
+        w = jax.jit(lambda r: _two_level_density(
+            mcfg, full, state, r, fused)[6])(probe)
+        out = replace(rcfg, max_segments=pick(
+            _needed_budget(w, cs, weight_eps), S_c))
     if rcfg.sub_stride is not None and fused.coarse_occ_tight is not None:
         sub = rcfg.sub_stride
         cand = out.max_segments * (cs // sub)

@@ -64,3 +64,67 @@ def test_two_level_matches_dense_after_training():
                           fused=fused)
     np.testing.assert_allclose(np.asarray(fast2["rgb"]),
                                np.asarray(dense["rgb"]), atol=5e-2)
+
+
+def test_l2_only_selection_matches_cascade():
+    """use_l1=False (L2-only selection): with full budgets the kept
+    sub-segments are the identical time-ordered set the cascade keeps (a
+    tight-occupied sub always sits in a dilated-occupied segment), so the
+    render outputs match exactly; calibrate_budgets in this mode keeps
+    max_segments at the full count and sizes only the sub budget."""
+    import dataclasses
+
+    from contrastive_lift_tpu.ops import fused_grid as fg
+
+    cfg = Config(min_grid_dim=33, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(cfg, 5, grid_dim=(33, 33, 33))
+
+    # analytic shell field so occupancy is structured
+    lin = jnp.linspace(-1, 1, 33)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    dense_field = jnp.where(jnp.abs(r - 0.55) < 0.12, 10.0, 0.0)
+
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    fused = fg.build_fused_grids(
+        params, mcfg, corner_features=("appearance",), with_occupancy=True,
+        dense_override=dense_field, with_atlas=True, with_occ_groups=True,
+        occ_bits_thres=thres)
+
+    rng = np.random.default_rng(7)
+    o = rng.uniform(-0.15, 0.15, (96, 3)).astype(np.float32)
+    d = rng.normal(size=(96, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((96, 1), 0.01, np.float32),
+                           np.full((96, 1), 1.5, np.float32)], axis=-1)
+
+    S = rcfg.n_samples
+    S_c = -(-S // 8)
+    cand = -(-S // 4)
+    base = dataclasses.replace(rcfg, coarse_stride=8, sub_stride=4,
+                               max_segments=S_c, max_subsegments=cand)
+    cascade = R.occ_grouping_for(base, state_r)
+    flat = dataclasses.replace(cascade, use_l1=False)
+    assert flat.l2_flat_group >= 2
+
+    out_c = R.render_rays(params, mcfg, cascade, state_r, rays, None, False,
+                          fused=fused)
+    out_f = R.render_rays(params, mcfg, flat, state_r, rays, None, False,
+                          fused=fused)
+    for k in ("rgb", "depth", "semantics", "instances", "opacity"):
+        np.testing.assert_allclose(np.asarray(out_f[k]), np.asarray(out_c[k]),
+                                   rtol=1e-6, atol=1e-6)
+
+    # calibration in L2-only mode: segment budget stays full, subs shrink
+    cal = R.calibrate_budgets(mcfg, flat, state_r, jnp.asarray(rays), fused)
+    assert cal.max_segments == S_c
+    assert cal.max_subsegments <= cand
+    out_cal = R.render_rays(params, mcfg, cal, state_r, rays, None, False,
+                            fused=fused)
+    np.testing.assert_allclose(np.asarray(out_cal["rgb"]),
+                               np.asarray(out_c["rgb"]), atol=2e-2)
