@@ -133,7 +133,7 @@ def bench_train():
                           "seconds_per_step": round(dt, 4)}))
 
 
-def main(chunk: int = 8192):
+def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -176,7 +176,11 @@ def main(chunk: int = 8192):
 
     fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
                                feature_dtype=jnp.bfloat16,
-                               dense_override=dense)
+                               dense_override=dense,
+                               feature_cells_per_row=pack)
+    if not use_l1:
+        # A/B: L2-only flat grouped-bit selection (RenderConfig.use_l1)
+        rcfg = dataclasses.replace(rcfg, use_l1=False)
     # scene-adaptive segment budgets, exactly as inference/render.py does:
     # size max_segments/max_subsegments at the 99.9th-percentile occupied
     # counts of a ray probe (kills budget truncation on dense scenes, speeds
@@ -219,4 +223,7 @@ if __name__ == "__main__":
         chunk_arg = 8192
         if "--chunk" in sys.argv:
             chunk_arg = int(sys.argv[sys.argv.index("--chunk") + 1])
-        main(chunk_arg)
+        pack_arg = 1
+        if "--pack" in sys.argv:
+            pack_arg = int(sys.argv[sys.argv.index("--pack") + 1])
+        main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg)
