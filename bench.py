@@ -133,7 +133,8 @@ def bench_train():
                           "seconds_per_step": round(dt, 4)}))
 
 
-def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1):
+def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
+         termination: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -188,7 +189,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1):
     # grouped occupancy tests (one 5^3-neighborhood row per ~5 L1 tests /
     # per segment's L2 tests) — derived from the step geometry
     rcfg = R.occ_grouping_for(rcfg, state_r)
-    rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused)
+    rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
+                               termination=termination)
     fn = jax.jit(lambda p, f, r: R.render_rays(p, mcfg, rcfg, state_r, r,
                                                None, False, fused=f))
     out = fn(params, fused, rays)
@@ -226,4 +228,5 @@ if __name__ == "__main__":
         pack_arg = 1
         if "--pack" in sys.argv:
             pack_arg = int(sys.argv[sys.argv.index("--pack") + 1])
-        main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg)
+        main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg,
+             termination="--term" in sys.argv)

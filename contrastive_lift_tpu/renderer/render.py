@@ -104,6 +104,19 @@ class RenderConfig:
     # sub_stride; l2_flat_group comes from occ_grouping_for.
     use_l1: bool = True
     l2_flat_group: int = 0
+    # two-phase early termination (alternative to heavy/light bucketing):
+    # pass A evaluates the nearest ``term_first`` occupied sub-segments for
+    # EVERY ray; rays whose residual transmittance after pass A stays above
+    # the calibration eps continue — the ``term_fraction`` highest-residual
+    # rays evaluate the remaining budget in pass B (weights spliced by
+    # T_B *= T_A_residual, exact: transmittance is multiplicative across
+    # contiguous rank blocks). This buckets by MEASURED absorption instead
+    # of occupied-sub counts, so opaque-surface rays stop at the first
+    # crossing. A non-continued ray's missing weight is bounded by its
+    # residual, which feeds budget_tail. Calibrated by calibrate_budgets;
+    # 0 disables. Requires sub_stride; supersedes max_subsegments_light.
+    term_first: int = 0
+    term_fraction: float = 0.25
     # unique-cell dedup for the head feature gathers: gather the wide corner
     # rows once per live unique-cell RUN per ray (equal-cell samples are
     # contiguous in time — no sort) and redistribute per sample. EXACT while
@@ -475,6 +488,55 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
     hn = int(round(R * rcfg.heavy_fraction))
     k_sub = fine_steps.shape[1]
     k_l = rcfg.max_subsegments_light
+    kA = rcfg.term_first
+    if use_sub and 0 < kA < k_sub:
+        # two-phase early termination (RenderConfig.term_first): pass A for
+        # every ray, pass B only for the rays still carrying transmittance
+        n_s = max(1, min(R, int(round(R * rcfg.term_fraction))))
+        out_a = _fine_density(mcfg, rcfg, state, rays_o, rays_d, t_min,
+                              fused, fine_steps[:, :kA],
+                              sample_valid[:, :kA])
+        T_res = out_a[7][:, 0]                # residual transmittance [R]
+        order = jnp.argsort(T_res)            # survivors = largest residuals
+        inv = jnp.argsort(order)
+        surv = order[R - n_s:]
+        fsB = jnp.take(fine_steps[:, kA:], surv, axis=0)
+        svB = jnp.take(sample_valid[:, kA:], surv, axis=0)
+        roB = jnp.take(rays_o, surv, axis=0)
+        rdB = jnp.take(rays_d, surv, axis=0)
+        tmB = jnp.take(t_min, surv, axis=0)
+        out_b = list(_fine_density(mcfg, rcfg, state, roB, rdB, tmB, fused,
+                                   fsB, svB))
+        Tsurv = jnp.take(T_res, surv)[:, None]
+        # splice: transmittance is multiplicative across contiguous rank
+        # blocks, so pass-B weights/background start at pass-A's residual
+        out_b[6] = out_b[6] * Tsurv
+        out_b[7] = out_b[7] * Tsurv
+
+        def expand(b):
+            # rows of b are rays order[R-n_s:]; zero rows for the rest,
+            # then unsort back to input ray order
+            pad = jnp.zeros((R - n_s,) + b.shape[1:], b.dtype)
+            return jnp.take(jnp.concatenate([pad, b]), inv, axis=0)
+
+        merged = []
+        for i in range(8):
+            if i == 7:
+                continue
+            merged.append(jnp.concatenate(
+                [out_a[i], expand(out_b[i])], axis=1))
+        # background: survivors spliced; a terminated ray's residual goes to
+        # background exactly as if its tail were empty (truncation semantics)
+        survived = jnp.zeros((R,), bool).at[surv].set(True)
+        bg = jnp.where(survived[:, None], expand(out_b[7]), T_res[:, None])
+        merged.insert(7, bg)
+        # guardrail: a terminated ray's missing weight is bounded by its
+        # residual transmittance; survivors guard their deepest kept group
+        tail = _tail_weight(out_b[6], group)
+        if n_s < R:
+            tail = jnp.maximum(tail, jnp.max(jnp.take(T_res,
+                                                      order[:R - n_s])))
+        return tuple(merged) + (tail,)
     if use_sub and 0 < k_l < k_sub and 0 < hn < R:
         order = jnp.argsort(needed)                   # light first, heavy last
         inv = jnp.argsort(order)
@@ -519,7 +581,8 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
                       probe_rays, fused: FusedGrids,
                       quantile: float = 0.999, margin: int = 2,
                       round_to: int = 4,
-                      weight_eps: float = 1e-3) -> RenderConfig:
+                      weight_eps: float = 1e-3,
+                      termination: bool = False) -> RenderConfig:
     """Transmittance-aware scene-adaptive segment budgets.
 
     Occupied-segment COUNTS overestimate the needed budget badly (on a shell
@@ -563,16 +626,38 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
     if rcfg.sub_stride is not None and fused.coarse_occ_tight is not None:
         sub = rcfg.sub_stride
         cand = out.max_segments * (cs // sub)
-        full2 = replace(out, max_subsegments=cand, max_subsegments_light=0)
+        full2 = replace(out, max_subsegments=cand, max_subsegments_light=0,
+                        term_first=0)
         w2 = jax.jit(lambda r: _two_level_density(
             mcfg, full2, state, r, fused)[6])(probe)
         needed2 = _needed_budget(w2, sub, weight_eps)
         out = replace(out, max_subsegments=pick(needed2, cand))
+        if termination:
+            # two-phase early termination: pick the pass-A budget kA that
+            # minimizes expected sub evaluations kA + P(weight-needed > kA)
+            # * margin * (k_sub - kA); the survivor fraction gets a 1.5x
+            # margin (plus a floor) for drift beyond the probe, and the
+            # term path's budget_tail guards residual-transmittance leaks
+            need = np.asarray(needed2)
+            k_sub = out.max_subsegments
+            best = None
+            for q in (0.5, 0.625, 0.75, 0.875):
+                kA = max(4, min(k_sub - round_to,
+                                -(-int(np.quantile(need, q)) // round_to)
+                                * round_to))
+                frac = min(1.0, float((need > kA).mean()) * 1.5 + 1 / 64)
+                cost = kA + frac * (k_sub - kA)
+                if best is None or cost < best[0]:
+                    best = (cost, kA, frac)
+            if best is not None and best[1] < k_sub:
+                out = replace(out, term_first=best[1],
+                              term_fraction=best[2],
+                              max_subsegments_light=0)
         # heavy/light bucketing: only rays ABOVE the light budget must land
         # in the heavy bucket (top heavy_fraction by occupied count), so the
         # light quantile sits at 1 - heavy_fraction/2 — half the heavy
         # capacity is margin for distribution drift beyond the probe
-        if out.heavy_fraction > 0:
+        elif out.heavy_fraction > 0:
             light = pick_q(needed2, cand, 1.0 - out.heavy_fraction / 2)
             if light < out.max_subsegments:
                 out = replace(out, max_subsegments_light=light)

@@ -128,3 +128,73 @@ def test_l2_only_selection_matches_cascade():
                             fused=fused)
     np.testing.assert_allclose(np.asarray(out_cal["rgb"]),
                                np.asarray(out_c["rgb"]), atol=2e-2)
+
+
+def test_two_phase_termination_exact_and_guarded():
+    """term_first two-phase evaluation: with term_fraction=1.0 every ray
+    continues and the spliced two-pass result equals the single-pass render
+    exactly (transmittance is multiplicative across contiguous rank blocks);
+    a starved survivor fraction surfaces in budget_tail; calibration picks a
+    (kA, fraction) pair and renders within tolerance of the full budget."""
+    import dataclasses
+
+    from contrastive_lift_tpu.ops import fused_grid as fg
+
+    cfg = Config(min_grid_dim=33, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(cfg, 5, grid_dim=(33, 33, 33))
+    lin = jnp.linspace(-1, 1, 33)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    dense_field = jnp.where((jnp.abs(r - 0.55) < 0.12)
+                            | (jnp.abs(r - 0.3) < 0.08), 10.0, 0.0)
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    fused = fg.build_fused_grids(
+        params, mcfg, corner_features=("appearance",), with_occupancy=True,
+        dense_override=dense_field, with_atlas=True, with_occ_groups=True,
+        occ_bits_thres=thres)
+
+    rng = np.random.default_rng(11)
+    o = rng.uniform(-0.1, 0.1, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((128, 1), 0.01, np.float32),
+                           np.full((128, 1), 1.5, np.float32)], axis=-1)
+
+    S = rcfg.n_samples
+    cand = -(-S // 4)
+    base = R.occ_grouping_for(
+        dataclasses.replace(rcfg, coarse_stride=8, sub_stride=4,
+                            max_segments=-(-S // 8), max_subsegments=cand),
+        state_r)
+
+    single = R.render_rays(params, mcfg, base, state_r, rays, None, False,
+                           fused=fused)
+    term_all = dataclasses.replace(base, term_first=8, term_fraction=1.0)
+    out_t = R.render_rays(params, mcfg, term_all, state_r, rays, None, False,
+                          fused=fused)
+    for k in ("rgb", "depth", "semantics", "instances", "opacity"):
+        np.testing.assert_allclose(np.asarray(out_t[k]),
+                                   np.asarray(single[k]),
+                                   rtol=1e-5, atol=1e-6)
+    assert float(out_t["budget_tail"]) <= 1e-5
+
+    # starved survivors: rays that still carry transmittance get cut -> tail
+    starved = dataclasses.replace(base, term_first=4,
+                                  term_fraction=1.0 / 128.0)
+    out_s = R.render_rays(params, mcfg, starved, state_r, rays, None, False,
+                          fused=fused)
+    assert float(out_s["budget_tail"]) > 1e-3
+
+    # calibrated termination point
+    cal = R.calibrate_budgets(mcfg, base, state_r, jnp.asarray(rays), fused,
+                              termination=True)
+    assert cal.term_first > 0 and 0 < cal.term_fraction <= 1.0
+    out_c = R.render_rays(params, mcfg, cal, state_r, rays, None, False,
+                          fused=fused)
+    np.testing.assert_allclose(np.asarray(out_c["rgb"]),
+                               np.asarray(single["rgb"]), atol=2e-2)
