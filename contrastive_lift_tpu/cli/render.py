@@ -34,6 +34,10 @@ def main(argv=None):
     parser.add_argument("--n_data_shards", type=int, default=None,
                         help="devices for sharded rendering (0=all; default: "
                         "the run config's n_data_shards)")
+    parser.add_argument("--term", action="store_true",
+                        help="two-phase early-termination fine evaluation "
+                        "(TPU perf knob, RenderConfig.term_first; budgets "
+                        "stay scene-calibrated and guarded by budget_tail)")
     args = parser.parse_args(argv)
 
     ckpt = Path(args.ckpt_path)
@@ -65,7 +69,7 @@ def main(argv=None):
         segmentwise=args.segmentwise, use_silverman=args.use_silverman,
         cluster_size=args.cluster_size,
         cached_centroids_path=args.cached_centroids_path, chunk=args.chunk,
-        mesh=mesh)
+        mesh=mesh, termination=args.term)
     print(json.dumps(summary, indent=2))
 
 
