@@ -198,3 +198,50 @@ def test_two_phase_termination_exact_and_guarded():
                           fused=fused)
     np.testing.assert_allclose(np.asarray(out_c["rgb"]),
                                np.asarray(single["rgb"]), atol=2e-2)
+
+
+def test_termination_composes_with_l2_only():
+    """term_first + use_l1=False (both round-3 modes) compose: full-budget
+    term_fraction=1.0 render equals the plain flat render exactly."""
+    import dataclasses
+
+    from contrastive_lift_tpu.ops import fused_grid as fg
+
+    cfg = Config(min_grid_dim=33, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(cfg, 5, grid_dim=(33, 33, 33))
+    lin = jnp.linspace(-1, 1, 33)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    dense_field = jnp.where(jnp.abs(r - 0.5) < 0.1, 10.0, 0.0)
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    fused = fg.build_fused_grids(
+        params, mcfg, corner_features=("appearance",), with_occupancy=True,
+        dense_override=dense_field, with_atlas=True, with_occ_groups=True,
+        occ_bits_thres=thres)
+    rng = np.random.default_rng(13)
+    o = rng.uniform(-0.1, 0.1, (64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((64, 1), 0.01, np.float32),
+                           np.full((64, 1), 1.5, np.float32)], axis=-1)
+    S = rcfg.n_samples
+    flat = dataclasses.replace(
+        R.occ_grouping_for(
+            dataclasses.replace(rcfg, coarse_stride=8, sub_stride=4,
+                                max_segments=-(-S // 8),
+                                max_subsegments=-(-S // 4)),
+            state_r),
+        use_l1=False)
+    plain = R.render_rays(params, mcfg, flat, state_r, rays, None, False,
+                          fused=fused)
+    both = dataclasses.replace(flat, term_first=8, term_fraction=1.0)
+    out = R.render_rays(params, mcfg, both, state_r, rays, None, False,
+                        fused=fused)
+    for k in ("rgb", "depth", "opacity", "semantics"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(plain[k]),
+                                   rtol=1e-5, atol=1e-6)
