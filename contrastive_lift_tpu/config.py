@@ -131,6 +131,14 @@ class Config:
     precision: str = "fp32"              # fp32|bf16 for head MLP compute
     fused_aux_density: bool = True       # fused dense-grid density for the
                                          # stop-gradient (instance/segment) passes
+    # differentiable densified grids for the MAIN phase too: density (and
+    # features) gradients flow through the densify einsums + one cell-corner
+    # gather per sample instead of 18 small-table VM gathers; the backward
+    # is a scatter-add into the dense grid + matmul transposes. Exact (same
+    # function, same gradients — tested); whether it is FASTER depends on
+    # the TPU scatter-add rate (tools/microbench_train_main.py) — off until
+    # measured.
+    fused_main_density: bool = False
     # two-level empty-space skipping at inference (renderer/render.py): test
     # coarse stride-sample segments against the occupancy upper bound and
     # evaluate density only in the nearest max_segments occupied ones.

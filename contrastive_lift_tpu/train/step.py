@@ -71,7 +71,15 @@ def main_phase_loss(params, cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
     if head_topk and rcfg.head_topk is None:
         import dataclasses
         rcfg = dataclasses.replace(rcfg, head_topk=int(head_topk))
-    out = R.render_rays(params, mcfg, rcfg, state_r, batch["rays"], rng, is_train=True)
+    fused = None
+    if getattr(cfg, "fused_main_density", False):
+        # differentiable densified density (Config.fused_main_density):
+        # built INSIDE the loss so value_and_grad differentiates through
+        # the densify einsums; heads keep direct VM sampling
+        from ..ops.fused_grid import build_density_only
+        fused = build_density_only(params)
+    out = R.render_rays(params, mcfg, rcfg, state_r, batch["rays"], rng,
+                        is_train=True, fused=fused)
     mask = batch["mask"]
     rgb = jnp.where(mask[:, None], out["rgb"], 0.0)
     rgbs = jnp.where(mask[:, None], batch["rgbs"], 0.0)

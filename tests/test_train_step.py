@@ -234,3 +234,38 @@ def test_aux_topk_auto_exact_and_guardrail(small_cfg, scene):
                            donate=False, aux_head_topk=max(1, cnt // 4))
     _, m_t = tiny(*args)
     assert float(m_t["aux_head_tail"]) > 0.0
+
+
+def test_fused_main_density_gradients_match_direct(small_cfg, scene):
+    """Config.fused_main_density routes the main phase through the
+    differentiable densified grid — mathematically the SAME function as
+    direct VM sampling (trilinear separability), so the phase loss and the
+    full parameter gradient tree must match."""
+    import dataclasses
+
+    from contrastive_lift_tpu.data.base import RayPoolSampler
+    from contrastive_lift_tpu.train.step import main_phase_loss
+
+    cfg = small_cfg
+    mcfg, params, rcfg, state_r, weights = _setup(cfg, scene)
+    sampler = RayPoolSampler(scene.train_frames, scene.num_semantic_classes)
+    batch = sampler.sample(np.random.default_rng(5), 128)
+    gates = TrainGates(semantics_on=True)
+    key = jax.random.PRNGKey(3)
+
+    def loss_for(cfg_v):
+        def f(p):
+            return main_phase_loss(p, cfg_v, mcfg, rcfg, state_r, gates,
+                                   batch, key, 0.001, weights)[0]
+        return f
+
+    l_d, g_d = jax.value_and_grad(loss_for(cfg))(params)
+    cfg_f = dataclasses.replace(cfg, fused_main_density=True)
+    l_f, g_f = jax.value_and_grad(loss_for(cfg_f))(params)
+    np.testing.assert_allclose(float(l_f), float(l_d), rtol=1e-5)
+    flat_d = jax.tree.leaves(g_d)
+    flat_f = jax.tree.leaves(g_f)
+    assert len(flat_d) == len(flat_f)
+    for a, b in zip(flat_d, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
