@@ -91,6 +91,10 @@ def bench_train():
         # default config: train-time ESS for the stop-grad passes
         # (Config.ess_train_stride=8 — bounded-drift, conservative occupancy)
         ("main", TrainGates(semantics_on=True), {}),
+        # lever B A/B: differentiable densified main-phase density
+        # (Config.fused_main_density — adoption decided by this number)
+        ("main+fusedmain", TrainGates(semantics_on=True),
+         {"fused_main_density": True}),
         ("main+instance", TrainGates(semantics_on=True, instances_on=True), {}),
         ("main+instance+segment", all_gates, {}),
         # dense-parity mode: exact reference sampling for the aux passes
