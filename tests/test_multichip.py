@@ -113,3 +113,68 @@ def test_sharded_render_matches_single_device():
                                np.asarray(multi["rgb"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(single["instances"]),
                                np.asarray(multi["instances"]), atol=1e-5)
+
+def test_sharded_fused_render_matches_single_device():
+    """The PRODUCTION inference fast path (brick-atlas density, bit-packed
+    grouped occupancy, calibrated budgets, two-phase termination) under the
+    8-device mesh == single device. Guards the cross-ray argsort/take in the
+    termination and bucketing paths against sharding regressions before the
+    modes are adopted as defaults (inference/render.py passes mesh-sharded
+    chunks through this exact jit)."""
+    import dataclasses
+
+    from contrastive_lift_tpu.config import Config
+    from contrastive_lift_tpu.factory import build_model
+    from contrastive_lift_tpu.ops import fused_grid as fg
+    from contrastive_lift_tpu.renderer import render as R
+
+    cfg = Config(min_grid_dim=33, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(cfg, 5, grid_dim=(33, 33, 33))
+
+    lin = jnp.linspace(-1, 1, 33)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    dense_field = jnp.where(jnp.abs(r - 0.55) < 0.12, 10.0, 0.0)
+
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    fused = fg.build_fused_grids(
+        params, mcfg, corner_features=("appearance",), with_occupancy=True,
+        dense_override=dense_field, with_atlas=True, with_occ_groups=True,
+        occ_bits_thres=thres)
+
+    rng = np.random.default_rng(3)
+    o = rng.uniform(-0.15, 0.15, (64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((64, 1), 0.01, np.float32),
+                           np.full((64, 1), 1.5, np.float32)], axis=-1)
+
+    S = rcfg.n_samples
+    base = dataclasses.replace(rcfg, coarse_stride=8, sub_stride=4,
+                               max_segments=-(-S // 8),
+                               max_subsegments=-(-S // 4), head_topk=16,
+                               head_topk_semins=8)
+    base = R.occ_grouping_for(base, state_r)
+    cal = R.calibrate_budgets(mcfg, base, state_r, jnp.asarray(rays), fused,
+                              termination=True)
+    assert cal.term_first > 0  # termination actually engaged
+
+    fn = lambda p, f, r: R.render_rays(p, mcfg, cal, state_r, r, None, False,
+                                       fused=f)
+    single = jax.jit(fn)(params, fused, rays)
+
+    mesh = pmesh.make_mesh(8)
+    with mesh:
+        params_r = pmesh.replicate_tree(mesh, params)
+        fused_r = pmesh.replicate_tree(mesh, fused)
+        rays_s = jax.device_put(rays, pmesh.batch_sharding(mesh))
+        multi = jax.jit(fn)(params_r, fused_r, rays_s)
+    for k in ("rgb", "depth", "semantics", "instances", "opacity"):
+        np.testing.assert_allclose(np.asarray(single[k]),
+                                   np.asarray(multi[k]), atol=1e-5,
+                                   err_msg=k)
