@@ -173,15 +173,19 @@ class Config:
     # top-k); 0 = off (default — early-training fields are not yet peaked,
     # and off preserves step-for-step reference parity).
     head_topk_train: int = 0
-    # auto-size the STOP-GRAD-pass head top-k per stage (Trainer
+    # auto-size the train-time head top-k per stage (Trainer
     # _calibrate_aux_topk): k = max per-ray count of samples above
     # raymarch_weight_thres on a probe batch, with margin, re-probed every
     # epoch. The reference itself evaluates heads only on above-threshold
     # samples (panopli_tensoRF_renderer.py:103), so the compaction is exact
-    # while counts stay <= k; the per-step aux_head_tail metric records any
-    # overflow (0.0 = exact). Applies only when head_topk_train == 0 and the
-    # instance/segment gates are on; uncarved early fields simply calibrate
-    # to a dense k (no win, no drift).
+    # while counts stay <= k; once active it compacts the aux (instance/
+    # segment) passes AND the main-phase heads, and the per-step
+    # aux_head_tail / main_head_tail metrics record any overflow (0.0 =
+    # exact). Applies only when head_topk_train == 0 and the instance/
+    # segment gates are on (earlier epochs stay dense — exact reference
+    # parity while the field carves fastest); an empty probe (cnt == 0)
+    # also stays dense. The probe uses its own (seed, epoch) RNG, so the
+    # training batch stream is unchanged by the feature.
     head_topk_train_auto: bool = True
 
     def __post_init__(self):

@@ -183,6 +183,24 @@ def _build_coarse_occ(dense: jnp.ndarray, supervoxel: int):
     return jnp.repeat(dilated.reshape(-1, 1), 8, axis=1), cdim, dilated, coarse
 
 
+def _block_node_max(dense: jnp.ndarray, sv: int) -> jnp.ndarray:
+    """Per-supervoxel-block max over the FULL (sv+1)^3 node lattice the
+    block's cells interpolate from — window sv+1, stride sv, so the boundary
+    node layer shared with the next block IS included (cells [sv*b, sv*b+sv-1]
+    interpolate nodes [sv*b, sv*b+sv]). This is the correct undilated bound
+    for per-cell feature compaction: _build_coarse_occ's stride-sv window
+    excludes node sv*b+sv, so a surface rising out of an otherwise-empty
+    block across the boundary would wrongly drop the block there. Output
+    dims match _build_coarse_occ's block grid."""
+    cdims = tuple(-(-s // sv) for s in dense.shape)
+    pad = [(0, sv * c + 1 - s) for c, s in zip(cdims, dense.shape)]
+    padded = jnp.pad(dense, pad, constant_values=-jnp.inf)
+    return jax.lax.reduce_window(
+        padded, -jnp.inf, jax.lax.max,
+        window_dimensions=(sv + 1,) * 3, window_strides=(sv,) * 3,
+        padding="VALID")
+
+
 def _build_occ_group(vals3d: jnp.ndarray) -> jnp.ndarray:
     """[cx,cy,cz] per-block occupancy maxima -> [cx*cy*cz, 128] neighborhood
     rows: row b holds vals3d over blocks [b, b+4]^3 at lane dx*25+dy*5+dz
@@ -366,10 +384,10 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
             else:
                 features[name] = grid
     coarse_occ, coarse_dim, occ_tight = (None, None, None)
-    occ_group, occ_group_tight, undilated3d = (None, None, None)
+    occ_group, occ_group_tight = (None, None)
     occ_bits, occ_bits_tight = (None, None)
     if with_occupancy:
-        coarse_occ, coarse_dim, dilated3d, undilated3d = _build_coarse_occ(
+        coarse_occ, coarse_dim, dilated3d, _ = _build_coarse_occ(
             dense, supervoxel)
         occ_tight, tight3d = _build_tight_occ(dense, supervoxel, tight_pads)
         if with_occ_groups:
@@ -393,15 +411,17 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
     if compact_capacity is not None:
         if occ_raw_thres is None or coarse_occ is None:
             raise ValueError("compaction needs with_occupancy + occ_raw_thres")
-        # feature rows compact against the UNDILATED brick max at the (higher)
-        # feat_raw_thres when given: exact for composited maps — a sample's
-        # interp corners stay in its own brick, so any sample whose weight
-        # clears the raymarch threshold finds its brick kept, and samples in
-        # dropped bricks are below it and masked anyway (2-3x fewer rows ->
-        # faster head-feature gathers; see PERFORMANCE.md gather model)
+        # feature rows compact against the UNDILATED per-block NODE max at
+        # the (higher) feat_raw_thres when given: exact for composited maps —
+        # a cell's 8 interp corners all lie in its block's (sv+1)^3 node
+        # lattice (_block_node_max — includes the boundary layer shared with
+        # the next block), so any sample whose weight clears the raymarch
+        # threshold finds its block kept, and samples in dropped blocks are
+        # below it and masked anyway (2-3x fewer rows -> faster head-feature
+        # gathers; see PERFORMANCE.md gather model)
         mask = None
         if feat_raw_thres is not None:
-            mask = undilated3d.reshape(-1) > feat_raw_thres
+            mask = _block_node_max(dense, supervoxel).reshape(-1) > feat_raw_thres
         fused = build_compact_tables(fused, occ_raw_thres, compact_capacity,
                                      mask=mask,
                                      cells_per_row=feature_cells_per_row)
@@ -599,8 +619,12 @@ def _cached_counter(thres: float, has_dense: bool = False,
                     undilated: bool = False):
     def _count(p, dense_override):
         dense = dense_override if has_dense else build_dense_density(p)
-        occ, _, _, und = _build_coarse_occ(dense, 4)
-        vals = und.reshape(-1) if undilated else occ[:, 0]
+        if undilated:
+            # must mirror the feature-compaction mask (_block_node_max):
+            # the counter sizes the capacity for exactly that mask
+            vals = _block_node_max(dense, 4).reshape(-1)
+        else:
+            vals = _build_coarse_occ(dense, 4)[0][:, 0]
         return jnp.sum(vals > thres)
     return jax.jit(_count)
 
@@ -717,11 +741,15 @@ def sample_feature_fused(fused: FusedGrids, name: str, xyz: jnp.ndarray,
 
     cells = fused.compact_feature_cells.get(name)
     if cells is not None:
+        if out_dim is None:
+            # without the true width the packing factor (cells_per_row) is
+            # unrecoverable: a packed table would be row-indexed in the
+            # UNpacked layout and jnp.take would clamp silently
+            raise ValueError(
+                "sample_feature_fused requires out_dim with a compact table")
         pos = _compact_row_index(fused, i)
-        cpr = 1
-        if out_dim is not None:
-            base = 8 * _corner_pad(out_dim)
-            cpr = cells.shape[1] // base
+        base = 8 * _corner_pad(out_dim)
+        cpr = cells.shape[1] // base
         if cpr > 1:
             # packed table (build_compact_tables cells_per_row): gather the
             # shared wide row, select the owning cell segment — a (cpr-1)-

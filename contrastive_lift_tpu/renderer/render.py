@@ -146,6 +146,10 @@ class RenderConfig:
         if not self.use_l1 and self.sub_stride is None:
             raise ValueError("use_l1=False (L2-only selection) requires "
                              "sub_stride — without it no level tests remain")
+        if self.head_dedup_cells is not None and self.head_topk is None:
+            raise ValueError(
+                "head_dedup_cells dedups the top-k head gather stream; "
+                "set head_topk too (same contract as head_topk_semins)")
 
 
 class RenderState(NamedTuple):

@@ -79,6 +79,8 @@ class Trainer:
         self._step_fn = None
         self._step_key = None
         self._aux_k = None
+        self._count_fn = None       # cached jitted top-k calibration probe
+        self._count_key = None
         self._render_fn = None
         self._preserve_opt_once = False  # set by restore(); survives one rebuild
         from ..utils.logger import make_logger, snapshot_source
@@ -127,7 +129,7 @@ class Trainer:
 
     # -- stage management ---------------------------------------------------
 
-    def _calibrate_aux_topk(self, gates):
+    def _calibrate_aux_topk(self, gates, epoch: int):
         """Per-stage head top-k for every train-phase head (main + aux).
 
         Probes the max per-ray count of samples above raymarch_weight_thres
@@ -137,8 +139,16 @@ class Trainer:
         margin — the compaction (renderer._aux_topk for the aux passes,
         render_rays head_topk for the main phase) is exact while counts stay
         <= k, and the step's aux_head_tail / main_head_tail metrics guard
-        the contract. Returns None when dense evaluation is just as good
-        (uncarved field) or the feature is off.
+        the contract. Returns None (dense heads) when the feature is off,
+        before the instance/segment gates open (the documented contract:
+        early epochs keep exact reference parity while the field carves
+        fastest), or when the probe sees an empty field (cnt == 0 says
+        nothing about where the field will carve mid-epoch).
+
+        The probe draws from a dedicated RNG seeded by (cfg.seed, epoch) so
+        the training batch stream is identical with the feature on or off,
+        and the jitted counter is cached per (grid_dim, rcfg_aux) stage key
+        (on remote-TPU platforms every re-trace is a remote-compile hop).
         """
         cfg = self.cfg
         explicit = int(getattr(cfg, "head_topk_train", 0))
@@ -146,29 +156,38 @@ class Trainer:
             return explicit
         if not getattr(cfg, "head_topk_train_auto", True):
             return None
+        if not (gates.instances_on or gates.segments_on):
+            return None
         from .step import _aux_density_grids, _aux_rcfg
         rcfg_aux = _aux_rcfg(cfg, self.rcfg)
         S = (rcfg_aux.max_segments * rcfg_aux.coarse_stride
              if rcfg_aux.coarse_stride else rcfg_aux.n_samples)
+        probe_rng = np.random.default_rng((cfg.seed or 0, 0x70CA1, epoch))
         probe = jnp.asarray(
-            self.main_sampler.sample(self.rng, min(4096, 2 * cfg.batch_size))
-            ["rays"])
-        mcfg, state_r = self.mcfg, self.state_r
+            self.main_sampler.sample(probe_rng,
+                                     min(4096, 2 * cfg.batch_size))["rays"])
+        mcfg = self.mcfg
 
-        def count_fn(p, r):
-            fused = _aux_density_grids(p, cfg)
-            w = R.aux_density_weights(p, mcfg, rcfg_aux, state_r, r, None,
-                                      False, fused)[2]
-            return jnp.max(jnp.sum(w > rcfg_aux.raymarch_weight_thres, -1))
-
-        cnt = int(jax.jit(count_fn)(self.state.params, probe))
+        key = (self.grid_dim, rcfg_aux)
+        if self._count_key != key or self._count_fn is None:
+            def count_fn(p, state_r, r):
+                fused = _aux_density_grids(p, cfg)
+                w = R.aux_density_weights(p, mcfg, rcfg_aux, state_r, r,
+                                          None, False, fused)[2]
+                return jnp.max(jnp.sum(w > rcfg_aux.raymarch_weight_thres,
+                                       -1))
+            self._count_fn = jax.jit(count_fn)
+            self._count_key = key
+        cnt = int(self._count_fn(self.state.params, self.state_r, probe))
+        if cnt == 0:
+            return None
         k = int(np.ceil((cnt * 1.25 + 8) / 16.0) * 16)
         return k if k < S else None
 
     def _rebuild_stage(self, epoch: int):
         """Re-jit the step + reset optimizer state after any shape change."""
         gates = gates_for_epoch(self.cfg, epoch)
-        aux_k = self._calibrate_aux_topk(gates)
+        aux_k = self._calibrate_aux_topk(gates, epoch)
         key = (self.grid_dim, gates, self.rcfg.n_samples)
         if key == self._step_key and self._step_fn is not None:
             if aux_k != self._aux_k:

@@ -506,3 +506,45 @@ def test_calibrate_budgets():
                                np.asarray(out_base["opacity"]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(out_cal["rgb"]),
                                np.asarray(out_base["rgb"]), atol=1e-3)
+
+
+def test_tight_feature_compaction_brick_boundary_edge():
+    """Regression: a surface whose density rises out of an otherwise-empty
+    block ACROSS the block boundary (only the shared boundary node layer is
+    solid) must keep that block's feature rows — the block's last cell layer
+    interpolates from node sv*b+sv, which the stride-sv window max excludes
+    (_block_node_max includes it). Before the fix, live samples on the rising
+    edge read zero sentinel feature rows and rendered wrong colors."""
+    mcfg, params, rcfg0, state_r = _model(grid=48)
+    dense = np.zeros((48, 48, 48), np.float32)
+    dense[8, :, :] = 12.0  # solid plane exactly on a block-boundary node
+    dense = jnp.asarray(dense)
+    rcfg = dataclasses.replace(rcfg0, coarse_stride=8, max_segments=24,
+                               sub_stride=4, max_subsegments=32, head_topk=16)
+
+    full = fg.build_render_grids(params, mcfg, rcfg, state_r, compact=False,
+                                 feature_dtype=jnp.float32,
+                                 dense_override=dense)
+    tight = fg.build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                                  feature_dtype=jnp.float32,
+                                  dense_override=dense)
+
+    # rays marching +x into the plane: the last samples before the surface
+    # sit in cells 4..7 (block 1, empty nodes) with weight above the raymarch
+    # threshold (density rises linearly to 12 across cell 7)
+    rng = np.random.default_rng(11)
+    o = np.stack([np.full(128, -0.95), rng.uniform(-0.4, 0.4, 128),
+                  rng.uniform(-0.4, 0.4, 128)], -1).astype(np.float32)
+    d = np.stack([np.ones(128), rng.normal(0, 0.05, 128),
+                  rng.normal(0, 0.05, 128)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((128, 1), 0.01, np.float32),
+         np.full((128, 1), 3.0, np.float32)], -1))
+    out_f = R.render_rays(params, mcfg, rcfg, state_r, rays, None, False,
+                          fused=full)
+    out_t = R.render_rays(params, mcfg, rcfg, state_r, rays, None, False,
+                          fused=tight)
+    assert float(jnp.max(out_f["opacity"])) > 0.5  # the plane is actually hit
+    np.testing.assert_allclose(np.asarray(out_t["rgb"]),
+                               np.asarray(out_f["rgb"]), atol=1e-5)

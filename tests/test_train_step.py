@@ -269,3 +269,58 @@ def test_fused_main_density_gradients_match_direct(small_cfg, scene):
     for a, b in zip(flat_d, flat_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_auto_topk_calibration_contract(tmp_path):
+    """Trainer._calibrate_aux_topk honors its documented contract
+    (config.py head_topk_train_auto): None before the instance/segment
+    gates open and on an empty probe field; a finite bucketed k on a carved
+    field; no draws from the TRAINING rng (batch stream identical with the
+    feature on/off); jitted probe cached per stage."""
+    import copy
+
+    from contrastive_lift_tpu.train.loop import Trainer
+
+    sc = make_synthetic_scene(num_spheres=3, num_train=4, num_val=1,
+                              image_dim=(16, 16), seed=0)
+    cfg = Config(
+        batch_size=128, chunk=128, min_grid_dim=16, max_grid_dim=16,
+        max_instances=3, instance_loss_mode="slow_fast", use_DINO_style=True,
+        batch_size_contrastive=4, max_rays_instances=32,
+        max_labels_per_image=8, batch_size_segments=4, max_rays_segments=16,
+        seed=0, late_semantic_optimization=0, instance_optimization_epoch=2,
+        segment_optimization_epoch=2, bbox_aabb_reset_epochs=[],
+        grid_upscale_epochs=[], sanity_steps=0, save_every_n_train_steps=0,
+    ).resolve_epochs()
+    t = Trainer(cfg, sc, tmp_path / "cal", log_every=1)
+
+    rng_before = copy.deepcopy(t.rng.bit_generator.state)
+    # gates off (epoch 0): dense, no probe
+    assert t._calibrate_aux_topk(gates_for_epoch(cfg, 0), 0) is None
+    # gates on, but the init field is empty (softplus shift -10): cnt == 0
+    gates2 = gates_for_epoch(cfg, 2)
+    assert gates2.instances_on
+    assert t._calibrate_aux_topk(gates2, 2) is None
+    assert t.rng.bit_generator.state == rng_before  # training stream intact
+
+    # carve a slab into the density field -> small finite k
+    params = jax.tree.map(lambda x: x, t.state.params)
+    planes = list(params["density"]["planes"])
+    lines = list(params["density"]["lines"])
+    p0 = np.zeros_like(np.asarray(planes[0]))
+    p0[0, :, 7:9] = 30.0
+    l0 = np.zeros_like(np.asarray(lines[0]))
+    l0[0, :] = 1.0
+    planes[0] = jnp.asarray(p0)
+    lines[0] = jnp.asarray(l0)
+    for i in (1, 2):
+        planes[i] = jnp.zeros_like(planes[i])
+        lines[i] = jnp.zeros_like(lines[i])
+    params["density"] = {"planes": tuple(planes), "lines": tuple(lines)}
+    t.state = t.state._replace(params=params)
+    k = t._calibrate_aux_topk(gates2, 2)
+    assert k is not None and k % 16 == 0 and k >= 16
+    fn_first = t._count_fn
+    t._calibrate_aux_topk(gates2, 3)  # same stage -> cached jit reused
+    assert t._count_fn is fn_first
+    assert t.rng.bit_generator.state == rng_before

@@ -177,12 +177,15 @@ def bench_train(ref_root):
 
     t3 = timed(phase2)
 
+    import torch
     full = t1 * (full_main / n_main) + t2 * (full_seg / n_seg) + t3
-    print(f"reference torch CPU train phases (1 thread, measured): "
-          f"main[{n_main} rays] {t1:.2f}s, segment[{n_seg}x1024] {t2:.2f}s, "
-          f"instance[1024] {t3:.2f}s")
+    nthreads = torch.get_num_threads()
+    print(f"reference torch CPU train phases ({nthreads} thread(s), "
+          f"measured): main[{n_main} rays] {t1:.2f}s, "
+          f"segment[{n_seg}x1024] {t2:.2f}s, instance[1024] {t3:.2f}s")
     print(f"extrapolated full reference step (2048 main + 32x1024 segment + "
-          f"1024 instance): {full:.1f}s = {1.0/full:.4f} steps/s/core")
+          f"1024 instance): {full:.1f}s = {1.0/full:.4f} steps/s on "
+          f"{nthreads} thread(s)")
 
 
 def main():
@@ -207,9 +210,6 @@ def main():
     sys.path.insert(0, ref_root)
     from model.radiance_field.tensoRF import TensorVMSplit
     from model.renderer.panopli_tensoRF_renderer import TensoRFRenderer
-
-    import os
-    torch.set_num_threads(os.cpu_count() or 1)
 
     grid, num_classes, max_inst = 192, 21, 3
     bbox = torch.tensor([[-1., -1., -1.], [1., 1., 1.]])
