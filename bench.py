@@ -132,9 +132,15 @@ def bench_train():
                                   jax.random.PRNGKey(i + 1), 1.0, 0.001)
         float(metrics["loss_main"])  # host fetch = true synchronization
         dt = (time.perf_counter() - t0) / n_iters
-        print(json.dumps({"metric": f"train_steps_per_sec[{name}]",
-                          "value": round(1.0 / dt, 3), "unit": "steps/s",
-                          "seconds_per_step": round(dt, 4)}))
+        line = {"metric": f"train_steps_per_sec[{name}]",
+                "value": round(1.0 / dt, 3), "unit": "steps/s",
+                "seconds_per_step": round(dt, 4)}
+        if name == "main+instance+segment":
+            # pinned same-host reference full-step baseline: 0.081 steps/s
+            # on one CPU core at identical batch/stream shapes
+            # (tools/bench_reference_cpu.py --train, BASELINE.md)
+            line["vs_cpu_core_baseline"] = round(1.0 / dt / 0.081, 1)
+        print(json.dumps(line))
 
 
 def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
