@@ -144,7 +144,7 @@ def bench_train():
 
 
 def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
-         termination: bool = False):
+         termination: bool = False, group: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -177,13 +177,14 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     dense = jnp.where(surf, 14.0, 0.0).astype(jnp.float32)
 
     rng = np.random.default_rng(0)
-    origins = rng.uniform(-0.2, 0.2, (chunk, 3)).astype(np.float32)
-    dirs = rng.normal(size=(chunk, 3)).astype(np.float32)
+    n_rays = chunk * group
+    origins = rng.uniform(-0.2, 0.2, (n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    rays = np.concatenate([
-        origins, dirs, np.full((chunk, 1), 0.01, np.float32),
-        np.full((chunk, 1), 1.5, np.float32)], axis=-1)
-    rays = jax.device_put(rays)
+    rays_all = np.concatenate([
+        origins, dirs, np.full((n_rays, 1), 0.01, np.float32),
+        np.full((n_rays, 1), 1.5, np.float32)], axis=-1)
+    rays = jax.device_put(rays_all[:chunk])
 
     fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
                                feature_dtype=jnp.bfloat16,
@@ -201,19 +202,30 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     rcfg = R.occ_grouping_for(rcfg, state_r)
     rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
                                termination=termination)
-    fn = jax.jit(lambda p, f, r: R.render_rays(p, mcfg, rcfg, state_r, r,
-                                               None, False, fused=f))
+    if group > 1:
+        # grouped dispatch (inference/render.py::_jitted_render_group): G
+        # chunks of identical per-chunk compute per device call — amortizes
+        # the ~1.2 ms remote-tunnel dispatch cost G-fold
+        fn = jax.jit(lambda p, f, rg: jax.lax.map(
+            lambda r: R.render_rays(p, mcfg, rcfg, state_r, r, None, False,
+                                    fused=f), rg))
+        rays = jax.device_put(rays_all.reshape(group, chunk, -1))
+        out_sel = lambda o: o["rgb"][0, 0, 0]
+    else:
+        fn = jax.jit(lambda p, f, r: R.render_rays(p, mcfg, rcfg, state_r, r,
+                                                   None, False, fused=f))
+        out_sel = lambda o: o["rgb"][0, 0]
     out = fn(params, fused, rays)
-    float(out["rgb"][0, 0])  # compile + sync
+    float(out_sel(out))  # compile + sync
 
-    n_iters = 40
+    n_iters = max(1, 40 // group)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn(params, fused, rays)
-    float(out["rgb"][0, 0])  # host fetch = true synchronization
+    float(out_sel(out))  # host fetch = true synchronization
     dt = time.perf_counter() - t0
 
-    rays_per_sec = n_iters * chunk / dt
+    rays_per_sec = n_iters * group * chunk / dt
     result = {
         "metric": "render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -222,8 +234,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         # truncation guardrails at the measured operating point (see
         # renderer/render.py budget_tail/head_tail): ~0 = no ray was clipped
         # by the calibrated ESS budgets or the top-k head compaction
-        "budget_tail": round(float(out["budget_tail"]), 6),
-        "head_tail": round(float(out["head_tail"]), 6),
+        "budget_tail": round(float(jnp.max(out["budget_tail"])), 6),
+        "head_tail": round(float(jnp.max(out["head_tail"])), 6),
     }
     print(json.dumps(result))
 
@@ -238,5 +250,8 @@ if __name__ == "__main__":
         pack_arg = 1
         if "--pack" in sys.argv:
             pack_arg = int(sys.argv[sys.argv.index("--pack") + 1])
+        group_arg = 1
+        if "--group" in sys.argv:
+            group_arg = int(sys.argv[sys.argv.index("--group") + 1])
         main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg,
-             termination="--term" in sys.argv)
+             termination="--term" in sys.argv, group=group_arg)

@@ -74,6 +74,23 @@ def _jitted_render(mcfg, rcfg):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_render_group(mcfg, rcfg):
+    """Single-dispatch grouped variant of _jitted_render: renders a [G, chunk]
+    ray stack with ONE device dispatch via lax.map (the body is traced and
+    compiled once; iterations run sequentially on device). On the remote-TPU
+    platform every dispatch serializes a ~1.2 ms tunnel round trip
+    (PERFORMANCE.md), so grouping G chunks amortizes it G-fold; per-chunk
+    compute and numerics are identical to the per-chunk path. TPU-perf
+    design — the reference's render loop (inference/render_panopli.py:108-120)
+    launches per-chunk CUDA work where launch cost is negligible."""
+    def fn(p, f, sr, rays_g):
+        return jax.lax.map(
+            lambda r: R.render_rays(p, mcfg, rcfg, sr, r, None, False,
+                                    fused=f), rays_g)
+    return jax.jit(fn)
+
+
 def _build_render_grids(params, mcfg, rcfg, state_r):
     import jax.numpy as jnp
     from ..ops.fused_grid import build_render_grids
@@ -87,7 +104,7 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   chunk: int = 8192, progress: bool = False,
                   use_fused: bool = True, mesh=None, data_axis: str = "data",
                   auto_budget: bool = True, bake_heads: bool = False,
-                  termination: bool = False):
+                  termination: bool = False, dispatch_group: int = 4):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
     Builds the fused dense grids once (parameters are fixed at inference) so
@@ -98,7 +115,8 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     configured defaults. With ``mesh`` (a 1-axis jax.sharding.Mesh) each ray
     chunk is sharded over the data axis and parameters are replicated — the
     multi-chip render path (reference DDP analog; chunk must divide the mesh
-    size).
+    size). ``dispatch_group`` renders that many chunks per device dispatch
+    (single-chip path only) — identical numerics, fewer host round trips.
     """
     fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
     if fused is not None and (fused.occ_group is not None
@@ -147,19 +165,36 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
         n = rays.shape[0]
         pad = (-n) % chunk
         rays_p = np.pad(rays, ((0, pad), (0, 0)))
-        if mesh is None:
-            # one H2D per frame; chunk slices stay on device
-            rays_dev = jax.device_put(rays_p)
-            chunks = [rays_dev[i:i + chunk]
-                      for i in range(0, len(rays_p), chunk)]
+        n_chunks = len(rays_p) // chunk
+        if mesh is None and dispatch_group > 1 and n_chunks > 1:
+            # grouped dispatch: G chunks per device call (one tunnel round
+            # trip instead of G); at most two trace shapes per frame set
+            # (full groups + one remainder group)
+            gfn = _jitted_render_group(mcfg, rcfg)
+            arr = jax.device_put(
+                rays_p.reshape(n_chunks, chunk, rays_p.shape[-1]))
+            outs = [gfn(params, fused, state_r, arr[i:i + dispatch_group])
+                    for i in range(0, n_chunks, dispatch_group)]
+            tails.extend(jnp.max(o["budget_tail"]) for o in outs)
+            head_tails.extend(jnp.max(o["head_tail"]) for o in outs)
+            dedup_tails.extend(jnp.max(o["dedup_tail"]) for o in outs)
+            cat = {k: jnp.concatenate(
+                [o[k].reshape((-1,) + o[k].shape[2:]) for o in outs])[:n]
+                for k in keys}
         else:
-            chunks = [jax.device_put(rays_p[i:i + chunk], ray_sharding)
-                      for i in range(0, len(rays_p), chunk)]
-        outs = [fn(params, fused, state_r, r) for r in chunks]
-        tails.extend(o["budget_tail"] for o in outs)
-        head_tails.extend(o["head_tail"] for o in outs)
-        dedup_tails.extend(o["dedup_tail"] for o in outs)
-        cat = {k: jnp.concatenate([o[k] for o in outs])[:n] for k in keys}
+            if mesh is None:
+                # one H2D per frame; chunk slices stay on device
+                rays_dev = jax.device_put(rays_p)
+                chunks = [rays_dev[i:i + chunk]
+                          for i in range(0, len(rays_p), chunk)]
+            else:
+                chunks = [jax.device_put(rays_p[i:i + chunk], ray_sharding)
+                          for i in range(0, len(rays_p), chunk)]
+            outs = [fn(params, fused, state_r, r) for r in chunks]
+            tails.extend(o["budget_tail"] for o in outs)
+            head_tails.extend(o["head_tail"] for o in outs)
+            dedup_tails.extend(o["dedup_tail"] for o in outs)
+            cat = {k: jnp.concatenate([o[k] for o in outs])[:n] for k in keys}
         for v in cat.values():
             try:
                 v.copy_to_host_async()

@@ -58,3 +58,29 @@ def test_dense_sigma_and_cluster_export(tmp_path):
     assert xyz.shape[1] == 3 and len(xyz) == len(labels)
     occ.export_instance_clusters(params, mcfg, state_r, (12, 12, 12), tmp_path)
     assert (tmp_path / "alpha.obj").exists() or (tmp_path / "full.obj").exists()
+
+
+def test_grouped_dispatch_matches_per_chunk():
+    """render_frames(dispatch_group=G) must be numerically identical to the
+    per-chunk path — the lax.map body IS render_rays on the same [chunk]
+    shapes (inference/render.py::_jitted_render_group). Covers a full group
+    plus a remainder group (4 chunks, G=3)."""
+    from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+    from contrastive_lift_tpu.inference.render import render_frames
+
+    scene = make_synthetic_scene(num_spheres=2, num_train=1, num_val=2,
+                                 image_dim=(16, 16), seed=0)
+    cfg = Config(min_grid_dim=17, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(
+        cfg, scene.num_semantic_classes, scene.scene_bounds, (17, 17, 17))
+
+    frames = scene.val_frames  # 256 rays/frame -> 4 chunks of 64
+    ref = render_frames(params, mcfg, rcfg, state_r, frames, chunk=64,
+                        dispatch_group=1)
+    grp = render_frames(params, mcfg, rcfg, state_r, frames, chunk=64,
+                        dispatch_group=3)
+    for a, b in zip(ref, grp):
+        for k in ("rgb", "semantics", "instances", "depth"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
