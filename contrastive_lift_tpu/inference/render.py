@@ -166,13 +166,20 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
         pad = (-n) % chunk
         rays_p = np.pad(rays, ((0, pad), (0, 0)))
         n_chunks = len(rays_p) // chunk
-        if mesh is None and dispatch_group > 1 and n_chunks > 1:
+        if dispatch_group > 1 and n_chunks > 1:
             # grouped dispatch: G chunks per device call (one tunnel round
             # trip instead of G); at most two trace shapes per frame set
-            # (full groups + one remainder group)
+            # (full groups + one remainder group). Under a mesh the chunk
+            # (ray) axis stays sharded — lax.map iterates over the
+            # replicated group axis, so each body step is the same sharded
+            # program the per-chunk path runs.
             gfn = _jitted_render_group(mcfg, rcfg)
-            arr = jax.device_put(
-                rays_p.reshape(n_chunks, chunk, rays_p.shape[-1]))
+            stacked = rays_p.reshape(n_chunks, chunk, rays_p.shape[-1])
+            if mesh is None:
+                arr = jax.device_put(stacked)
+            else:
+                arr = jax.device_put(
+                    stacked, pmesh.group_batch_sharding(mesh, data_axis))
             outs = [gfn(params, fused, state_r, arr[i:i + dispatch_group])
                     for i in range(0, n_chunks, dispatch_group)]
             tails.extend(jnp.max(o["budget_tail"]) for o in outs)

@@ -40,6 +40,13 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def group_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard axis 1 of a [G, chunk, ...] chunk stack over the data axis —
+    grouped-dispatch rendering keeps the ray axis sharded while lax.map
+    iterates the replicated group axis (inference/render.py)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def shard_main_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     sh = batch_sharding(mesh, axis)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

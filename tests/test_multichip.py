@@ -178,3 +178,32 @@ def test_sharded_fused_render_matches_single_device():
         np.testing.assert_allclose(np.asarray(single[k]),
                                    np.asarray(multi[k]), atol=1e-5,
                                    err_msg=k)
+
+
+def test_grouped_dispatch_sharded_matches_single_device():
+    """render_frames with BOTH the 8-device mesh and grouped dispatch must
+    match the single-device per-chunk path: lax.map iterates the replicated
+    group axis while each body step runs the same ray-sharded program
+    (parallel/mesh.py::group_batch_sharding)."""
+    from contrastive_lift_tpu.config import Config
+    from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+    from contrastive_lift_tpu.factory import build_model
+    from contrastive_lift_tpu.inference.render import render_frames
+
+    scene = make_synthetic_scene(num_spheres=2, num_train=1, num_val=1,
+                                 image_dim=(16, 16), seed=1)
+    cfg = Config(min_grid_dim=17, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(
+        cfg, scene.num_semantic_classes, scene.scene_bounds, (17, 17, 17))
+
+    frames = scene.val_frames  # 256 rays -> 4 chunks of 64
+    ref = render_frames(params, mcfg, rcfg, state_r, frames, chunk=64,
+                        dispatch_group=1)
+    mesh = pmesh.make_mesh(8)
+    grp = render_frames(params, mcfg, rcfg, state_r, frames, chunk=64,
+                        mesh=mesh, dispatch_group=3)
+    for a, b in zip(ref, grp):
+        for k in ("rgb", "semantics", "instances", "depth"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
