@@ -190,7 +190,10 @@ class PanopLiSceneReader:
 
         gt_sem = gt_inst = None
         # per-FILE check: GT-less captures (itw) have the folders but no pngs
-        if with_gt and (self.root / "rs_semantics" / f"{name}.png").exists():
+        # (both maps must exist — a semantics-only export stays GT-less)
+        if (with_gt
+                and (self.root / "rs_semantics" / f"{name}.png").exists()
+                and (self.root / "rs_instance" / f"{name}.png").exists()):
             gt_sem = _resize_nearest(np.array(Image.open(
                 self.root / "rs_semantics" / f"{name}.png")), (h, w)).reshape(-1)
             gt_inst = _resize_nearest(np.array(Image.open(

@@ -78,9 +78,12 @@ def create_instances_for_dmnerf(scene_dir, correspondences: bool = False,
 
 
 def write_replica_traj(scene_dir, pose_subdir: str = "pose",
-                       out_name: str = "traj_w_c.txt") -> Path:
+                       out_name: str = "traj_w_c.txt",
+                       out_path=None) -> Path:
     """pose/*.txt -> one row-major 4x4-per-line trajectory file
-    (reference preprocess_scannet.py:858-865)."""
+    (reference preprocess_scannet.py:858-865). Writes to ``out_path`` when
+    given (exports must not mutate the source scene layout), else next to
+    the poses."""
     scene_dir = Path(scene_dir)
     poses = sorted((scene_dir / pose_subdir).iterdir(),
                    key=lambda x: int(x.stem) if x.stem.isnumeric() else x.stem)
@@ -89,7 +92,7 @@ def write_replica_traj(scene_dir, pose_subdir: str = "pose",
         rt = np.loadtxt(pf).reshape(4, 4)
         lines.append(" ".join(f"{v:.18g}" for v in rt[:3].ravel())
                      + " 0.00 0.00 0.00 1.00")
-    out = scene_dir / out_name
+    out = Path(out_path) if out_path is not None else scene_dir / out_name
     out.write_text("\n".join(lines) + "\n")
     return out
 
@@ -111,8 +114,7 @@ def export_for_semantic_nerf(scene_dir, out_dir) -> Path:
     intr = scene_dir / "intrinsic" / "intrinsic_color.txt"
     if intr.exists():
         shutil.copyfile(intr, out_dir / "intrinsic_color.txt")
-    write_replica_traj(scene_dir)
-    shutil.copyfile(scene_dir / "traj_w_c.txt", out_dir / "traj_w_c.txt")
+    write_replica_traj(scene_dir, out_path=out_dir / "traj_w_c.txt")
     for f in sorted((scene_dir / "color").iterdir()):
         stem = f"{int(f.stem):04d}" if f.stem.isnumeric() else f.stem
         shutil.copyfile(f, out_dir / "rgb" / f"{stem}{f.suffix}")

@@ -164,7 +164,13 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
         rays = frame.rays.astype(np.float32)
         n = rays.shape[0]
         pad = (-n) % chunk
-        rays_p = np.pad(rays, ((0, pad), (0, 0)))
+        # pad by REPEATING the last real ray, not with zeros: zero rays
+        # degenerate to a single in-box point and would compete in the
+        # ray-adaptive paths (heavy/light bucketing by occupied count,
+        # termination survivor slots) and pollute the tail guardrails;
+        # duplicates of a real ray are sliced away by [:n] below
+        rays_p = (np.concatenate([rays, np.repeat(rays[-1:], pad, axis=0)])
+                  if pad else rays)
         n_chunks = len(rays_p) // chunk
         if dispatch_group > 1 and n_chunks > 1:
             # grouped dispatch: G chunks per device call (one tunnel round

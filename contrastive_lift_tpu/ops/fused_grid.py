@@ -95,7 +95,7 @@ class FusedGrids(NamedTuple):
     # grid) of every compact row past the sentinel brick — lets later passes
     # (e.g. renderer/bake.py head baking) compact NEW corner tables into the
     # same slot layout with one take()
-    compact_cells: Optional[jnp.ndarray] = None   # [capacity * sv^3] int32  # corner rows, compacted
+    compact_cells: Optional[jnp.ndarray] = None   # [capacity * sv^3] int32
 
 
 def build_dense_density(params: dict) -> jnp.ndarray:
@@ -785,6 +785,22 @@ def sample_feature_fused(fused: FusedGrids, name: str, xyz: jnp.ndarray,
     return out if out_dim is None else out[:, :out_dim]
 
 
+def _fresh_runs(fused: FusedGrids, xyz_n: jnp.ndarray, live: jnp.ndarray):
+    """Shared run detection for the head-gather dedup: flat cell key per
+    sample and the first-occurrence flag of each live unique-cell RUN along
+    the time axis (cell indices are monotone per axis, so no sort needed).
+    Both the slot builder and the calibration probe MUST use the same run
+    definition — keep them on this helper."""
+    R, S, _ = xyz_n.shape
+    gx, gy, gz = fused.grid_dim
+    i, _ = _cell_coords(fused.grid_dim, xyz_n.reshape(-1, 3))
+    key = ((i[:, 0] * (gy - 1) + i[:, 1]) * (gz - 1) + i[:, 2]).reshape(R, S)
+    prev_key = jnp.pad(key[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    prev_live = jnp.pad(live[:, :-1], ((0, 0), (1, 0)), constant_values=False)
+    fresh = live & ((key != prev_key) | ~prev_live)
+    return key, fresh
+
+
 def head_dedup_slots(fused: FusedGrids, xyz_n: jnp.ndarray, live: jnp.ndarray,
                      cap: int):
     """Per-ray unique-CELL slots for the head feature gathers.
@@ -799,13 +815,7 @@ def head_dedup_slots(fused: FusedGrids, xyz_n: jnp.ndarray, live: jnp.ndarray,
     mask threshold) -> (slot [R,S] int32 in [0,cap), uid [R,cap] flat cell
     key per unique run, tail = fraction of live samples whose run index
     overflowed cap — 0 means the dedup is EXACT this batch)."""
-    R, S, _ = xyz_n.shape
-    gx, gy, gz = fused.grid_dim
-    i, _ = _cell_coords(fused.grid_dim, xyz_n.reshape(-1, 3))
-    key = ((i[:, 0] * (gy - 1) + i[:, 1]) * (gz - 1) + i[:, 2]).reshape(R, S)
-    prev_key = jnp.pad(key[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-    prev_live = jnp.pad(live[:, :-1], ((0, 0), (1, 0)), constant_values=False)
-    fresh = live & ((key != prev_key) | ~prev_live)
+    key, fresh = _fresh_runs(fused, xyz_n, live)
     slotc = jnp.cumsum(fresh.astype(jnp.int32), axis=1) - 1
     n_live = jnp.maximum(jnp.sum(live), 1)
     tail = jnp.sum(live & (slotc >= cap)) / n_live.astype(jnp.float32)
@@ -820,13 +830,7 @@ def head_dedup_run_counts(fused: FusedGrids, xyz_n: jnp.ndarray,
                           live: jnp.ndarray) -> jnp.ndarray:
     """Per-ray count of live unique-cell RUNS (the budget head_dedup_slots
     needs) — the calibration probe for RenderConfig.head_dedup_cells."""
-    R, S, _ = xyz_n.shape
-    gx, gy, gz = fused.grid_dim
-    i, _ = _cell_coords(fused.grid_dim, xyz_n.reshape(-1, 3))
-    key = ((i[:, 0] * (gy - 1) + i[:, 1]) * (gz - 1) + i[:, 2]).reshape(R, S)
-    prev_key = jnp.pad(key[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-    prev_live = jnp.pad(live[:, :-1], ((0, 0), (1, 0)), constant_values=False)
-    fresh = live & ((key != prev_key) | ~prev_live)
+    _, fresh = _fresh_runs(fused, xyz_n, live)
     return jnp.sum(fresh, axis=1)
 
 

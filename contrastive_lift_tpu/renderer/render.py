@@ -262,7 +262,10 @@ def occ_grouping_for(rcfg: RenderConfig, state: RenderState,
         return rcfg
     min_unit = float(np.min(np.asarray(state.units)))
     step = float(np.asarray(state.step_size))
-    margin = 4 * supervoxel * min_unit * (1 + 1e-6)
+    # tolerance must SHRINK the admitted span (err conservative): inflating
+    # it could admit a group whose last test advances past the 5-block
+    # neighborhood by a float sliver, reading a zero pad lane (false-empty)
+    margin = 4 * supervoxel * min_unit * (1 - 1e-6)
     adv1 = rcfg.coarse_stride * step
     g1 = min(8, int(margin / adv1) + 1) if adv1 > 0 else 0
     # L2 grouping (one row per segment serving its n_sub sub-tests) was
@@ -501,7 +504,14 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
                               fused, fine_steps[:, :kA],
                               sample_valid[:, :kA])
         T_res = out_a[7][:, 0]                # residual transmittance [R]
-        order = jnp.argsort(T_res)            # survivors = largest residuals
+        # survivors = largest residuals AMONG rays that still have occupied
+        # candidates: a ray that missed all geometry has T_res = 1 but an
+        # empty tail — evaluating it is wasted and it would crowd real
+        # surface rays out of the survivor slots (and a truncated empty ray
+        # loses nothing, so it must not trip the guardrail either)
+        has_tail = jnp.any(sample_valid[:, kA:], axis=(1, 2))      # [R]
+        T_live = jnp.where(has_tail, T_res, -1.0)
+        order = jnp.argsort(T_live)           # survivors = largest residuals
         inv = jnp.argsort(order)
         surv = order[R - n_s:]
         fsB = jnp.take(fine_steps[:, kA:], surv, axis=0)
@@ -535,11 +545,13 @@ def _two_level_density(mcfg, rcfg: RenderConfig, state: RenderState,
         bg = jnp.where(survived[:, None], expand(out_b[7]), T_res[:, None])
         merged.insert(7, bg)
         # guardrail: a terminated ray's missing weight is bounded by its
-        # residual transmittance; survivors guard their deepest kept group
+        # residual transmittance IF it still had occupied candidates (an
+        # empty tail loses nothing); survivors guard their deepest group
         tail = _tail_weight(out_b[6], group)
         if n_s < R:
-            tail = jnp.maximum(tail, jnp.max(jnp.take(T_res,
-                                                      order[:R - n_s])))
+            tail = jnp.maximum(
+                tail, jnp.max(jnp.maximum(jnp.take(T_live, order[:R - n_s]),
+                                          0.0)))
         return tuple(merged) + (tail,)
     if use_sub and 0 < k_l < k_sub and 0 < hn < R:
         order = jnp.argsort(needed)                   # light first, heavy last
@@ -874,7 +886,7 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     }
 
 
-def _aux_topk(rcfg: RenderConfig, weight, xyz_n, z_vals):
+def _aux_topk(rcfg: RenderConfig, weight, xyz_n, z_vals, live=None):
     """Weight-sorted top-k compaction for the stop-grad aux passes.
 
     Exact whenever <= k samples per ray clear raymarch_weight_thres: the
@@ -892,7 +904,12 @@ def _aux_topk(rcfg: RenderConfig, weight, xyz_n, z_vals):
         return weight, xyz_n, z_vals, jnp.zeros((), jnp.float32)
     k = rcfg.head_topk
     count = jnp.sum(weight > rcfg.raymarch_weight_thres, axis=-1)
-    tail = jnp.mean((count > k).astype(jnp.float32))
+    over = count > k
+    if live is not None:
+        # zero-padded stream rays (sampler/chunk padding, masked in the
+        # losses) must not trip the guardrail
+        over = over & live
+    tail = jnp.mean(over.astype(jnp.float32))
     w_k, idx = jax.lax.top_k(weight, k)
     xyz_k = jnp.take_along_axis(xyz_n, idx[..., None], axis=1)
     z_k = jnp.take_along_axis(z_vals, idx, axis=1)
@@ -903,7 +920,10 @@ def aux_density_weights(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
                         state: RenderState, rays, rng, is_train: bool,
                         fused: Optional[FusedGrids]):
     """Stop-grad density/weights for the aux passes (train-time ESS when the
-    fused grids carry occupancy). Returns (xyz_n, z_vals, weight)."""
+    fused grids carry occupancy). Returns (xyz_n, z_vals, weight,
+    budget_tail) — budget_tail is the live-ray-masked ESS truncation
+    guardrail (max compositing weight in the deepest kept segment; 0 with
+    ESS off), the train-side analog of render_rays' budget_tail."""
     if (fused is not None and fused.coarse_occ is not None
             and rcfg.coarse_stride is not None):
         # train-time empty-space skipping (Config.ess_train_stride): density
@@ -911,11 +931,18 @@ def aux_density_weights(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = \
             _two_level_density(mcfg, rcfg, state, rays, fused, rng,
                                is_train)[:8]
+        # recompute the tail with zero-padded stream rays masked out (they
+        # degenerate to one in-box point and would false-trip the guardrail)
+        live = jnp.any(rays[:, 3:6] != 0, axis=-1)
+        group = rcfg.sub_stride or rcfg.coarse_stride
+        budget_tail = jnp.max(jnp.where(
+            live, jnp.sum(weight[:, -group:], axis=-1), 0.0))
     else:
         xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_w = _density_weights(
             params, mcfg, rcfg, state, rays, rng, is_train, stop_grad=True,
             fused=fused)
-    return xyz_n, z_vals, jax.lax.stop_gradient(weight)
+        budget_tail = jnp.zeros(())
+    return xyz_n, z_vals, jax.lax.stop_gradient(weight), budget_tail
 
 
 def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
@@ -926,13 +953,14 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     """Instance-embedding pass with no-grad density/weights.
 
     Returns (instance_map [R, D], surface points_xyz [R, 3]); with
-    ``return_tail`` also the _aux_topk guardrail scalar.
+    ``return_tail`` also the _aux_topk and ESS-budget guardrail scalars.
     Reference: panopli_tensoRF_renderer.py:178-217.
     """
-    xyz_n, z_vals, weight = aux_density_weights(
+    xyz_n, z_vals, weight, budget_tail = aux_density_weights(
         params, mcfg, rcfg, state, rays, rng, is_train, fused)
     distance_map = jnp.sum(weight * z_vals, -1)
-    weight, xyz_n, z_vals, tail = _aux_topk(rcfg, weight, xyz_n, z_vals)
+    live = jnp.any(rays[:, 3:6] != 0, axis=-1)
+    weight, xyz_n, z_vals, tail = _aux_topk(rcfg, weight, xyz_n, z_vals, live)
     R, S = weight.shape
     flat = xyz_n.reshape(-1, 3)
     app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
@@ -951,7 +979,7 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     points_xyz = rays[:, 0:3] + distance_map[:, None] * rays[:, 3:6]
     points_xyz = jax.lax.stop_gradient(points_xyz)
     if return_tail:
-        return instance_map, points_xyz, tail
+        return instance_map, points_xyz, tail, budget_tail
     return instance_map, points_xyz
 
 
@@ -964,9 +992,10 @@ def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
 
     Reference: panopli_tensoRF_renderer.py:259-300.
     """
-    xyz_n, z_vals, weight = aux_density_weights(
+    xyz_n, z_vals, weight, budget_tail = aux_density_weights(
         params, mcfg, rcfg, state, rays, rng, is_train, fused)
-    weight, xyz_n, z_vals, tail = _aux_topk(rcfg, weight, xyz_n, z_vals)
+    live = jnp.any(rays[:, 3:6] != 0, axis=-1)
+    weight, xyz_n, z_vals, tail = _aux_topk(rcfg, weight, xyz_n, z_vals, live)
     R, S = weight.shape
     flat = xyz_n.reshape(-1, 3)
     app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
@@ -983,5 +1012,5 @@ def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     segment_map = composite(weight, segments)
     segment_map = _semantic_map_postprocess(rcfg, segment_map)
     if return_tail:
-        return segment_map, tail
+        return segment_map, tail, budget_tail
     return segment_map

@@ -170,12 +170,23 @@ class Trainer:
 
         key = (self.grid_dim, rcfg_aux)
         if self._count_key != key or self._count_fn is None:
+            rcfg_main = self.rcfg
+
             def count_fn(p, state_r, r):
                 fused = _aux_density_grids(p, cfg)
                 w = R.aux_density_weights(p, mcfg, rcfg_aux, state_r, r,
                                           None, False, fused)[2]
-                return jnp.max(jnp.sum(w > rcfg_aux.raymarch_weight_thres,
-                                       -1))
+                cnt_aux = jnp.max(jnp.sum(
+                    w > rcfg_aux.raymarch_weight_thres, -1))
+                # the calibrated k also compacts the MAIN phase, whose dense
+                # (non-ESS) sampling can clear the threshold on samples the
+                # aux ESS budget truncates — probe that distribution too so
+                # the margin isn't silently consumed by the difference
+                w_main = R.aux_density_weights(p, mcfg, rcfg_main, state_r,
+                                               r, None, False, None)[2]
+                cnt_main = jnp.max(jnp.sum(
+                    w_main > rcfg_main.raymarch_weight_thres, -1))
+                return jnp.maximum(cnt_aux, cnt_main)
             self._count_fn = jax.jit(count_fn)
             self._count_key = key
         cnt = int(self._count_fn(self.state.params, self.state_r, probe))

@@ -123,7 +123,7 @@ def main_phase_loss(params, cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
 def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
                        rng, class_weights, aux_head_topk=None):
     """Segment-grouping loss (reference trainer :185-195). Returns
-    (loss, topk_tail guardrail).
+    (loss, topk_tail, ess_budget_tail guardrails).
 
     The segment stream is large (batch_size_segments x max_rays_segments rays,
     each with n_samples points); rendering it in one shot would hold tens of
@@ -147,13 +147,13 @@ def segment_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_seg: dict,
                                          rng, is_train=True, fused=fused,
                                          return_tail=True)
 
-    seg_map, tails = jax.lax.map(render_chunk, chunks)
+    seg_map, tails, btails = jax.lax.map(render_chunk, chunks)
     seg_map = seg_map.reshape(rays_p.shape[0], -1)[:n]
     loss = L.segment_grouping_loss(
         seg_map, batch_seg["group"], batch_seg["confidences"],
         cfg.batch_size_segments, class_weights, cfg.segment_grouping_mode,
         valid=batch_seg.get("valid"))
-    return loss, jnp.max(tails)
+    return loss, jnp.max(tails), jnp.max(btails)
 
 
 def _aux_density_grids(params, cfg):
@@ -226,7 +226,7 @@ def _interp_slow(params: dict, coeff, use_proj: bool) -> dict:
 def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng,
                         aux_head_topk=None):
     """Phase-2 loss over the per-image contrastive bundles (reference :210-221).
-    Returns (summed loss, topk_tail guardrail).
+    Returns (summed loss, topk_tail, ess_budget_tail guardrails).
 
     batch_inst: rays [I,R,8], labels [I,R] (compact ids), confidences [I,R],
     valid [I,R]. The reference's python loop over images becomes a vmap.
@@ -249,7 +249,7 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng,
             p_img = _interp_slow(params, coeff, mcfg.use_proj)
         else:
             p_img = params
-        feats, points_xyz, tail = R.render_instance_features(
+        feats, points_xyz, tail, btail = R.render_instance_features(
             p_img, mcfg, rcfg_aux, state_r, rays, k, is_train=True, fused=fused,
             return_tail=True)
         if cfg.instance_loss_mode == "slow_fast":
@@ -259,7 +259,8 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng,
                 fast, slow = tf.apply_proj(p_img, fast, slow)
             slow = jax.lax.stop_gradient(slow)
             return L.slow_fast_loss(fast, slow, labels, confs,
-                                    cfg.max_labels_per_image, valid=valid), tail
+                                    cfg.max_labels_per_image,
+                                    valid=valid), tail, btail
         if cfg.instance_loss_mode == "contrastive":
             if cfg.use_delta:
                 feats = points_xyz + feats
@@ -267,17 +268,17 @@ def instance_phase_loss(params, cfg, mcfg, rcfg, state_r, batch_inst: dict, rng,
             if cfg.use_delta:
                 loss = loss + 0.1 * jnp.mean(
                     jnp.linalg.norm(feats - points_xyz, axis=-1))
-            return loss, tail
+            return loss, tail, btail
         if cfg.instance_loss_mode == "linear_assignment":
             return L.linear_assignment_loss(
                 feats, labels, confs, cfg.max_labels_per_image,
-                valid=valid), tail
+                valid=valid), tail, btail
         raise NotImplementedError(cfg.instance_loss_mode)
 
-    losses, tails = jax.vmap(one_image)(
+    losses, tails, btails = jax.vmap(one_image)(
         batch_inst["rays"], batch_inst["labels"], batch_inst["confidences"],
         batch_inst["valid"], rngs, coeffs)
-    return jnp.sum(losses), jnp.max(tails)
+    return jnp.sum(losses), jnp.max(tails), jnp.max(btails)
 
 
 def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
@@ -309,11 +310,12 @@ def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
                     p, cfg, mcfg, rcfg, state_r, gates, batch_main, rng_main,
                     lambda_dist_reg, class_weights, head_topk=aux_head_topk)
                 if gates.segments_on and batch_seg is not None:
-                    seg, seg_tail = segment_phase_loss(
+                    seg, seg_tail, seg_btail = segment_phase_loss(
                         p, cfg, mcfg, rcfg, state_r, batch_seg, rng_seg,
                         class_weights, aux_head_topk)
                     loss = loss + cfg.lambda_semantics * cfg.lambda_segment * seg
                     m["loss_segment"] = seg
+                    m["aux_budget_tail"] = seg_btail
                     if aux_head_topk:
                         m["aux_head_tail"] = seg_tail
                 return loss, m
@@ -327,11 +329,15 @@ def make_train_step(cfg, mcfg: tf.TensoRFConfig, rcfg: R.RenderConfig,
         opt_inst = state.opt_state_inst
         if gates.instances_on and batch_inst is not None:
             def inst_loss_fn(p):
-                return instance_phase_loss(p, cfg, mcfg, rcfg, state_r,
-                                           batch_inst, rng_inst, aux_head_topk)
+                loss_i, tail_i, btail_i = instance_phase_loss(
+                    p, cfg, mcfg, rcfg, state_r, batch_inst, rng_inst,
+                    aux_head_topk)
+                return loss_i, (tail_i, btail_i)
 
-            (loss_inst, inst_tail), grads_i = jax.value_and_grad(
+            (loss_inst, (inst_tail, inst_btail)), grads_i = jax.value_and_grad(
                 inst_loss_fn, has_aux=True)(params_)
+            metrics["aux_budget_tail"] = jnp.maximum(
+                metrics.get("aux_budget_tail", 0.0), inst_btail)
             if aux_head_topk:
                 metrics["aux_head_tail"] = jnp.maximum(
                     metrics.get("aux_head_tail", 0.0), inst_tail)

@@ -245,3 +245,68 @@ def test_termination_composes_with_l2_only():
     for k in ("rgb", "depth", "opacity", "semantics"):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(plain[k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_termination_empty_rays_dont_claim_survivor_slots():
+    """Rays that miss all geometry have residual transmittance 1.0 but an
+    EMPTY tail: they must neither crowd surface rays out of the pass-B
+    survivor slots nor trip the budget_tail guardrail (their truncation
+    loses nothing — full eval also sends everything to background)."""
+    import dataclasses
+
+    from contrastive_lift_tpu.ops import fused_grid as fg
+
+    cfg = Config(min_grid_dim=33, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(cfg, 5, grid_dim=(33, 33, 33))
+    lin = jnp.linspace(-1, 1, 33)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    # background at raw -20 (softplus(-30) ~ 0): at this coarse 33^3 step a
+    # raw-0 background would itself clear the occupancy alpha threshold,
+    # leaving no actually-empty rays to exercise
+    dense_field = jnp.where((jnp.abs(r - 0.55) < 0.12)
+                            | (jnp.abs(r - 0.3) < 0.08), 10.0, -20.0)
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    fused = fg.build_fused_grids(
+        params, mcfg, corner_features=("appearance",), with_occupancy=True,
+        dense_override=dense_field, with_atlas=True, with_occ_groups=True,
+        occ_bits_thres=thres)
+
+    rng = np.random.default_rng(17)
+    # 32 surface rays (origin near center — always cross both shells) ...
+    o_hit = rng.uniform(-0.1, 0.1, (32, 3)).astype(np.float32)
+    d_hit = rng.normal(size=(32, 3)).astype(np.float32)
+    d_hit /= np.linalg.norm(d_hit, axis=-1, keepdims=True)
+    # ... and 96 empty rays: origins outside the outer shell pointing
+    # outward — they exit the box without touching occupied space
+    corner = np.sign(rng.normal(size=(96, 3))).astype(np.float32) * 0.85
+    d_out = corner / np.linalg.norm(corner, axis=-1, keepdims=True)
+    o = np.concatenate([o_hit, corner])
+    d = np.concatenate([d_hit, d_out])
+    rays = np.concatenate([o, d, np.full((128, 1), 0.01, np.float32),
+                           np.full((128, 1), 1.5, np.float32)], axis=-1)
+
+    S = rcfg.n_samples
+    base = R.occ_grouping_for(
+        dataclasses.replace(rcfg, coarse_stride=8, sub_stride=4,
+                            max_segments=-(-S // 8),
+                            max_subsegments=-(-S // 4)),
+        state_r)
+    full = R.render_rays(params, mcfg, base, state_r, rays, None, False,
+                         fused=fused)
+    # survivor budget (40) < number of empty rays (96): without the
+    # has-remaining-candidates mask the empty rays would fill every slot,
+    # truncating the surface rays mid-shell and driving budget_tail to ~1
+    term = dataclasses.replace(base, term_first=4,
+                               term_fraction=40.0 / 128.0)
+    out = R.render_rays(params, mcfg, term, state_r, rays, None, False,
+                        fused=fused)
+    for k in ("rgb", "depth", "opacity", "semantics"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(full[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    assert float(out["budget_tail"]) <= 1e-3
