@@ -144,7 +144,8 @@ def bench_train():
 
 
 def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
-         termination: bool = False, group: int = 1):
+         termination: bool = False, group: int = 1, sub_stride: int = 8,
+         coarse_stride: int = 16):
     import jax
     import jax.numpy as jnp
 
@@ -164,8 +165,9 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
     rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
                                head_dtype="bfloat16",
-                               coarse_stride=16, max_segments=32,
-                               sub_stride=8, max_subsegments=48)
+                               coarse_stride=coarse_stride, max_segments=32,
+                               sub_stride=sub_stride,
+                               max_subsegments=48 * (8 // sub_stride))
 
     # indoor-like analytic density field (see module docstring)
     lin = jnp.linspace(-1, 1, grid)
@@ -253,5 +255,12 @@ if __name__ == "__main__":
         group_arg = 1
         if "--group" in sys.argv:
             group_arg = int(sys.argv[sys.argv.index("--group") + 1])
+        sub_arg = 8
+        if "--sub" in sys.argv:
+            sub_arg = int(sys.argv[sys.argv.index("--sub") + 1])
+        cs_arg = 16
+        if "--cs" in sys.argv:
+            cs_arg = int(sys.argv[sys.argv.index("--cs") + 1])
         main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg,
-             termination="--term" in sys.argv, group=group_arg)
+             termination="--term" in sys.argv, group=group_arg,
+             sub_stride=sub_arg, coarse_stride=cs_arg)
