@@ -55,7 +55,7 @@ def _random_rays(rng, n=48):
 
 
 @pytest.mark.parametrize("step_ratio", [0.25, 0.5])
-@pytest.mark.parametrize("cs,sub", [(8, 4), (16, 8), (8, None)])
+@pytest.mark.parametrize("cs,sub", [(8, 4), (16, 8), (16, 4), (8, None)])
 def test_full_budget_ess_matches_dense(step_ratio, cs, sub):
     cfg = Config(min_grid_dim=GRID, max_instances=3,
                  instance_loss_mode="slow_fast", use_DINO_style=True,
