@@ -167,7 +167,9 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                                head_dtype="bfloat16",
                                coarse_stride=coarse_stride, max_segments=32,
                                sub_stride=sub_stride,
-                               max_subsegments=48 * (8 // sub_stride))
+                               # pre-calibration cap scales with sub count
+                               # per segment (48 at the default stride 8)
+                               max_subsegments=48 * 8 // sub_stride)
 
     # indoor-like analytic density field (see module docstring)
     lin = jnp.linspace(-1, 1, grid)
@@ -205,12 +207,14 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
                                termination=termination)
     if group > 1:
-        # grouped dispatch (inference/render.py::_jitted_render_group): G
-        # chunks of identical per-chunk compute per device call — amortizes
-        # the ~1.2 ms remote-tunnel dispatch cost G-fold
-        fn = jax.jit(lambda p, f, rg: jax.lax.map(
-            lambda r: R.render_rays(p, mcfg, rcfg, state_r, r, None, False,
-                                    fused=f), rg))
+        # grouped dispatch: G chunks of identical per-chunk compute per
+        # device call — amortizes the ~1.2 ms remote-tunnel dispatch cost
+        # G-fold. Uses the SAME jitted program as production inference so
+        # the A/B measures what render_frames ships.
+        from contrastive_lift_tpu.inference.render import \
+            _jitted_render_group
+        gfn = _jitted_render_group(mcfg, rcfg)
+        fn = lambda p, f, rg: gfn(p, f, state_r, rg)
         rays = jax.device_put(rays_all.reshape(group, chunk, -1))
         out_sel = lambda o: o["rgb"][0, 0, 0]
     else:

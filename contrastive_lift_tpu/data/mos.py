@@ -22,6 +22,7 @@ from typing import Tuple
 import numpy as np
 
 from ..utils import geometry as geo
+from .preprocessing.common import numeric_stem_key
 from .base import FrameData, SceneData, SegmentationData
 from .panopli import _resize_bilinear_chw, _resize_nearest
 
@@ -75,7 +76,7 @@ class MOSSceneReader:
     def _setup(self):
         self.frame_names = sorted(
             [x.stem for x in (self.root / "color").iterdir() if x.suffix == ".png"],
-            key=lambda y: int(y) if y.isnumeric() else y)
+            key=numeric_stem_key)
         n = len(self.frame_names)
         # deterministic fixed split: last 20% are test frames
         split_at = int(n * self.train_val_ratio)

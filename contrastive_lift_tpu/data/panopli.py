@@ -29,6 +29,7 @@ import numpy as np
 
 from ..utils import geometry as geo
 from .base import FrameData, SceneData, SegmentationData
+from .preprocessing.common import numeric_stem_key
 
 
 def _read_matrix_txt(path: Path) -> np.ndarray:
@@ -80,7 +81,7 @@ class PanopLiSceneReader:
     def _setup(self):
         self.frame_names = sorted(
             [x.stem for x in (self.root / "color").iterdir() if x.suffix == ".jpg"],
-            key=lambda y: int(y) if y.isnumeric() else y)
+            key=numeric_stem_key)
         n = len(self.frame_names)
         if self.overfit:
             self.train_indices = self.val_indices = list(range(min(16, n)))

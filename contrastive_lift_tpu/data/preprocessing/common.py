@@ -27,6 +27,34 @@ import numpy as np
 # pose spacing, break ties toward the least blurry frame)
 # ---------------------------------------------------------------------------
 
+def numeric_stem_key(stem: str) -> tuple:
+    """Type-stable sort key for frame-file stems: numeric stems first in
+    numeric order, then the rest lexically. A mixed directory ('0001.png'
+    next to 'frame_extra.png') must sort, not raise — a bare
+    ``int(s) if s.isnumeric() else s`` key makes sorted() compare int
+    against str and crash."""
+    s = str(stem)
+    return (0, int(s), "") if s.isnumeric() else (1, 0, s)
+
+
+def save_id_image(ids: np.ndarray, path) -> None:
+    """Write an integer label/id map as PNG, widening past uint8 when needed.
+
+    Replica object ids and scene-wide renumbered instance ids can exceed
+    255; a silent uint8 cast would wrap id 256 -> 0 (void) and fuse distinct
+    objects in the segment-grouping labels. PIL round-trips uint16 PNGs
+    ('I;16'), and the readers load via np.array(Image.open(...)) which
+    preserves the width."""
+    from PIL import Image
+    ids = np.asarray(ids)
+    hi = int(ids.max(initial=0))
+    lo = int(ids.min(initial=0))
+    if lo < 0 or hi > int(np.iinfo(np.uint16).max):
+        raise ValueError(f"id image outside PNG range: [{lo}, {hi}]")
+    dtype = np.uint8 if hi <= int(np.iinfo(np.uint8).max) else np.uint16
+    Image.fromarray(ids.astype(dtype)).save(path)
+
+
 def blur_score(image: np.ndarray) -> float:
     """Variance of a 3x3 Laplacian response (higher = sharper).
 
@@ -126,22 +154,22 @@ class SceneWriter:
         Image.fromarray(np.asarray(rgb, np.uint8)).save(
             self.root / "color" / f"{name}.jpg", quality=95)
         np.savetxt(self.root / "pose" / f"{name}.txt", np.asarray(cam2world))
-        Image.fromarray(np.asarray(m2f_semantics, np.uint8)).save(
-            self.root / "m2f_semantics" / f"{name}.png")
-        Image.fromarray(np.asarray(m2f_instance, np.uint8)).save(
-            self.root / "m2f_instance" / f"{name}.png")
+        save_id_image(m2f_semantics,
+                      self.root / "m2f_semantics" / f"{name}.png")
+        save_id_image(m2f_instance,
+                      self.root / "m2f_instance" / f"{name}.png")
         np.savez_compressed(self.root / "m2f_probabilities" / f"{name}.npz",
                             probability=np.asarray(probabilities, np.float32),
                             confidence=np.asarray(confidence, np.float32))
         if segments is not None:
-            Image.fromarray(np.asarray(segments, np.uint8)).save(
-                self.root / "m2f_segments" / f"{name}.png")
+            save_id_image(segments,
+                          self.root / "m2f_segments" / f"{name}.png")
         if gt_semantics is not None:
-            Image.fromarray(np.asarray(gt_semantics, np.uint8)).save(
-                self.root / "rs_semantics" / f"{name}.png")
+            save_id_image(gt_semantics,
+                          self.root / "rs_semantics" / f"{name}.png")
         if gt_instance is not None:
-            Image.fromarray(np.asarray(gt_instance, np.uint8)).save(
-                self.root / "rs_instance" / f"{name}.png")
+            save_id_image(gt_instance,
+                          self.root / "rs_instance" / f"{name}.png")
         if depth is not None:
             depth_mm = (np.asarray(depth, np.float32) * 1000).astype(np.uint16)
             Image.fromarray(depth_mm).save(self.root / "depth" / f"{name}.png")

@@ -19,6 +19,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+from .common import numeric_stem_key
 from .m2f import load_thing_flags
 
 
@@ -86,7 +87,7 @@ def write_replica_traj(scene_dir, pose_subdir: str = "pose",
     the poses."""
     scene_dir = Path(scene_dir)
     poses = sorted((scene_dir / pose_subdir).iterdir(),
-                   key=lambda x: int(x.stem) if x.stem.isnumeric() else x.stem)
+                   key=lambda x: numeric_stem_key(x.stem))
     lines = []
     for pf in poses:
         rt = np.loadtxt(pf).reshape(4, 4)

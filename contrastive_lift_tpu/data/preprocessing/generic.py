@@ -15,7 +15,8 @@ from typing import Optional
 
 import numpy as np
 
-from .common import SceneWriter, fold_semantics, renumber_instances
+from .common import (SceneWriter, fold_semantics, numeric_stem_key,
+                     renumber_instances)
 
 
 def _load_poses(pose_path: Path, names):
@@ -37,7 +38,7 @@ def preprocess_generic(frames_dir, pose_path, intrinsics_path, output_dir,
     frames_dir = Path(frames_dir)
     names = sorted([p.stem for p in frames_dir.iterdir()
                     if p.suffix.lower() in (".jpg", ".png", ".jpeg")],
-                   key=lambda s: int(s) if s.isnumeric() else s)[::subsample]
+                   key=numeric_stem_key)[::subsample]
     poses = _load_poses(Path(pose_path), names)
     intr = np.loadtxt(intrinsics_path)
     if intr.shape == (3, 3):

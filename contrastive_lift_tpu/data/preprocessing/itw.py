@@ -199,21 +199,28 @@ def preprocess_itw(transforms_path, frames_dir, output_dir,
     meta = read_transforms(transforms_path)
     K, dist, model = meta["K"], meta["dist"], meta["model"]
 
+    from .common import blur_score, numeric_stem_key, select_keyframes
+
     names = sorted([p.stem for p in frames_dir.iterdir()
                     if p.suffix.lower() in (".jpg", ".png", ".jpeg")],
-                   key=lambda s: int(s) if s.isnumeric() else s)
+                   key=numeric_stem_key)
     names = [n for n in names if n in meta["poses"]]
-    images = [Image.open(next(frames_dir.glob(f"{n}.*"))) for n in names]
+    paths = [next(frames_dir.glob(f"{n}.*")) for n in names]
     if keyframe_window > 1:
         # least-blurry frame per window (reference preprocess_itw.py:27 via
-        # preprocess_scannet.py:31-55)
-        from .common import blur_score, select_keyframes
-        scores = [blur_score(np.asarray(im.convert("L"))) for im in images]
+        # preprocess_scannet.py:31-55). Frames are opened ONE at a time —
+        # a video capture has thousands, and holding every PIL fp open
+        # exhausts the descriptor limit before selection even runs.
+        scores = []
+        for p in paths:
+            with Image.open(p) as im:
+                scores.append(blur_score(np.asarray(im.convert("L"))))
         keep = select_keyframes(scores, keyframe_window)
         names = [names[i] for i in keep]
-        images = [images[i] for i in keep]
+        paths = [paths[i] for i in keep]
 
-    h, w = np.asarray(images[0]).shape[:2]
+    with Image.open(paths[0]) as im0:
+        h, w = np.asarray(im0).shape[:2]
     newK = estimate_new_camera(K, dist, (h, w), model)
     stage = output_dir / "undistorted"
     for sub in ("color", "pose", "intrinsic", "invalid"):
@@ -223,9 +230,10 @@ def preprocess_itw(transforms_path, frames_dir, output_dir,
     np.savetxt(stage / "intrinsic" / "intrinsic_color.txt", intr4)
 
     any_invalid = False
-    for name, im in zip(names, images):
-        und, valid = undistort_image(np.asarray(im)[..., :3], K, dist, newK,
-                                     model)
+    for name, path in zip(names, paths):
+        with Image.open(path) as im:
+            arr = np.asarray(im)[..., :3]
+        und, valid = undistort_image(arr, K, dist, newK, model)
         Image.fromarray(und).save(stage / "color" / f"{name}.png")
         np.savetxt(stage / "pose" / f"{name}.txt", meta["poses"][name])
         if not valid.all():

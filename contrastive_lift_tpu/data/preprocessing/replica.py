@@ -66,10 +66,14 @@ def fold_object_ids(object_ids: np.ndarray, lut: np.ndarray,
 
     Instances keep the raw object id on thing pixels, 0 elsewhere
     (reference convert_from_semantics_and_instances_to_reduced,
-    preprocess_replica.py:125-133)."""
-    sem = lut[np.clip(object_ids, 0, len(lut) - 1)]
+    preprocess_replica.py:125-133). Ids outside the LUT (>= max_objects or
+    negative — stray render values) fold to class 0 (void), not to whatever
+    class the clipped boundary entry happens to hold."""
+    oid = np.asarray(object_ids, np.int64)
+    in_range = (oid >= 0) & (oid < len(lut))
+    sem = np.where(in_range, lut[np.clip(oid, 0, len(lut) - 1)], 0)
     thing = np.asarray(thing_flags)[sem]
-    inst = np.where(thing, object_ids, 0)
+    inst = np.where(thing & in_range, oid, 0)
     return sem, inst
 
 

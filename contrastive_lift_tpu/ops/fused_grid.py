@@ -320,17 +320,20 @@ def tight_occ_pads(sub_stride: int, step_size: float, min_unit: float,
 
 
 def _build_tight_occ(dense: jnp.ndarray, supervoxel: int,
-                     pads: Tuple[int, int] = (2, 3)):
+                     pads: Tuple[int, int] = (3, 3)):
     """Max raw density per supervoxel block with a margin (window
     sv + pads[0] + pads[1], stride sv) — the mid-level occupancy for
     sub-segment tests.
 
     Window covers nodes [sv*b - pads[0], sv*b + sv + pads[1]] around block
     b; ``tight_occ_pads`` derives the minimal conservative pads from the
-    step geometry (the (2,3) default admits sub_stride * step_ratio <= 4 on
-    cubic voxels — both the 0.25 inference and 0.5 training ratios — while
-    smearing surfaces by only ~2 voxels instead of the block-dilated grid's
-    ~supervoxel)."""
+    step geometry (= (2,2) at the 0.25 inference ratio). The (3,3) default
+    is what ``tight_occ_pads(8, ...)`` returns at sub_stride * step_ratio
+    = 4 (the 0.5 training ratio) — safe for BOTH standard ratios at the
+    cost of ~1 voxel extra smear; production builders pass the computed
+    minimal pads. (A (2,3) default was one node short on the backward side
+    at the training ratio: the lowest fine sample of a sub-segment centered
+    in the block's first half-voxel interpolates from node sv*b - 3.)"""
     sv = supervoxel
     lo, hi = pads
     cdims = tuple(-(-g // sv) for g in dense.shape)
@@ -354,7 +357,7 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                       with_atlas: bool = False,
                       atlas_dtype=jnp.float32,
                       with_occ_groups: bool = False,
-                      tight_pads: Tuple[int, int] = (2, 3),
+                      tight_pads: Tuple[int, int] = (3, 3),
                       feat_raw_thres: Optional[float] = None,
                       occ_bits_thres: Optional[float] = None,
                       feature_cells_per_row: int = 1) -> FusedGrids:
@@ -590,7 +593,7 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
     has_dense = dense_override is not None
     # minimal conservative tight-occupancy window for the ACTUAL step
     # geometry (advisor r2: validate the precondition instead of assuming it)
-    pads = (2, 3)
+    pads = (3, 3)
     if rcfg.sub_stride:
         pads = tight_occ_pads(rcfg.sub_stride, float(state_r.step_size),
                               float(jnp.min(state_r.units)))
@@ -631,7 +634,7 @@ def _cached_counter(thres: float, has_dense: bool = False,
 
 @functools.lru_cache(maxsize=16)
 def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False,
-                    tight_pads=(2, 3), feat_raw_thres=None,
+                    tight_pads=(3, 3), feat_raw_thres=None,
                     feature_cells_per_row=1):
     # thres keys the cache, so the baked occupancy bits can never be reused
     # with a different alpha test (same contract as the compact slot tables)

@@ -191,3 +191,42 @@ def test_preprocess_replica_end_to_end(tmp_path):
     reader = PanopLiSceneReader(out, (16, 16), max_depth=5.0)
     scene = reader.load_scene()
     assert scene.num_semantic_classes == len(names)
+
+
+def test_fold_object_ids_out_of_range_to_void():
+    """Ids outside the LUT must fold to void (class 0), not inherit the
+    clipped boundary entry's class (review r3)."""
+    from contrastive_lift_tpu.data.preprocessing.replica import \
+        fold_object_ids
+    lut = np.zeros(4, np.int64)
+    lut[3] = 2  # boundary object is a thing class
+    thing_flags = np.array([False, False, True])
+    ids = np.array([[1, 3, 7], [0, 4, 3]])  # 7 and 4 are out of range
+    sem, inst = fold_object_ids(ids, lut, thing_flags)
+    assert sem.tolist() == [[0, 2, 0], [0, 0, 2]]
+    assert inst.tolist() == [[0, 3, 0], [0, 0, 3]]
+
+
+def test_save_id_image_widens_past_uint8(tmp_path):
+    """Instance/segment ids >= 256 (Replica object ids, scene-wide
+    renumbered ids) must round-trip, not wrap modulo 256 (review r3)."""
+    from contrastive_lift_tpu.data.preprocessing.common import save_id_image
+    ids = np.array([[0, 255], [256, 300]], np.int64)
+    save_id_image(ids, tmp_path / "wide.png")
+    back = np.asarray(Image.open(tmp_path / "wide.png"))
+    assert back.tolist() == ids.tolist()
+    # small maps stay uint8 (reference on-disk layout)
+    save_id_image(ids % 256, tmp_path / "narrow.png")
+    assert np.asarray(Image.open(tmp_path / "narrow.png")).dtype == np.uint8
+    with pytest.raises(ValueError):
+        save_id_image(np.array([[-1]]), tmp_path / "bad.png")
+
+
+def test_numeric_stem_key_mixed_directory():
+    """Mixed numeric / non-numeric stems must sort, not raise (review r3:
+    the bare int-or-str key crashes sorted() on mixed directories)."""
+    from contrastive_lift_tpu.data.preprocessing.common import \
+        numeric_stem_key
+    stems = ["10", "frame_extra", "2", "0001", "b"]
+    out = sorted(stems, key=numeric_stem_key)
+    assert out == ["0001", "2", "10", "b", "frame_extra"]
