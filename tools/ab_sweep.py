@@ -1,0 +1,95 @@
+"""One-shot A/B sweep of the default-off render-perf candidates.
+
+Runs ``bench.py`` under every candidate flag combination in one process
+sequence (each bench invocation is a subprocess so jit caches / device state
+can't leak between points) and appends the JSON result lines, tagged with
+the flag set, to ``--out`` (default /tmp/ab_sweep.jsonl). Designed to run
+unattended the moment the remote TPU tunnel recovers:
+
+    python tools/ab_sweep.py --out /tmp/ab_sweep.jsonl
+
+Candidates (PERFORMANCE.md "Round-3 candidates awaiting on-chip A/B"):
+  * grouped chunk dispatch  (--group 4 / 8)
+  * two-phase early termination (--term)
+  * L2-only selection (--no-l1)
+  * packed compact feature tables (--pack 2 / 4)
+  * sub-segment granularity (--cs 16 --sub 4)
+  * chunk-size re-tune at the new balance point (--chunk 4096 / 16384)
+  * the best-of compositions (term+group, no-l1+term+group)
+
+Each point repeats ``--reps`` times (default 2) so device-state drift —
+the remote chip has measured ±5-9% session-to-session variance — shows up
+in the record rather than silently picking a winner.
+"""
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+POINTS = [
+    ("baseline", []),
+    ("group4", ["--group", "4"]),
+    ("group8", ["--group", "8"]),
+    ("term", ["--term"]),
+    ("term+group4", ["--term", "--group", "4"]),
+    ("no-l1", ["--no-l1"]),
+    ("no-l1+term+group4", ["--no-l1", "--term", "--group", "4"]),
+    ("pack2", ["--pack", "2"]),
+    ("pack4", ["--pack", "4"]),
+    ("cs16sub4", ["--cs", "16", "--sub", "4"]),
+    ("cs16sub4+term+group4", ["--cs", "16", "--sub", "4", "--term",
+                              "--group", "4"]),
+    ("chunk4096+group8", ["--chunk", "4096", "--group", "8"]),
+    ("chunk16384+group4", ["--chunk", "16384", "--group", "4"]),
+]
+
+
+def run_point(name, flags, out_path, timeout_s):
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "bench.py", *flags],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=Path(__file__).resolve().parent.parent)
+        line = None
+        for ln in proc.stdout.strip().splitlines():
+            try:
+                line = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+        rec = {"point": name, "flags": flags, "wall_s": round(time.time() - t0, 1)}
+        if line is None:
+            rec["error"] = (proc.stderr or proc.stdout)[-800:]
+        else:
+            rec.update(line)
+    except subprocess.TimeoutExpired:
+        rec = {"point": name, "flags": flags, "error": "timeout",
+               "wall_s": round(time.time() - t0, 1)}
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/ab_sweep.jsonl")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="per-point wall timeout (first compile is slow)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated point names to run")
+    args = ap.parse_args()
+    points = POINTS
+    if args.only:
+        keep = set(args.only.split(","))
+        points = [p for p in POINTS if p[0] in keep]
+    for rep in range(args.reps):
+        for name, flags in points:
+            run_point(f"{name}#r{rep}", flags, args.out, args.timeout)
+
+
+if __name__ == "__main__":
+    main()
