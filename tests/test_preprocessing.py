@@ -331,3 +331,69 @@ def test_dmnerf_export_matches_reference_loop(tmp_path):
     import json as _json
     assert _json.loads((sn / "splits.json").read_text())["train"] == ["0000",
                                                                      "0001"]
+
+
+def test_bbox_importers_roundtrip(tmp_path):
+    """GT + mmdet 3D-box ingestion into segmentation_data.pkl
+    (reference preprocess_scannet.py:519-592): thing filter, 1-based
+    instance ids, per-call annotation fixes, min/max corner reduction,
+    and the editor-consumable schema."""
+    import pickle
+
+    from contrastive_lift_tpu.data.preprocessing.bboxes import (
+        import_gt_bboxes, import_mmdet_bboxes)
+    from contrastive_lift_tpu.data.preprocessing.common import SceneWriter
+    from contrastive_lift_tpu.data.preprocessing.m2f import load_class_names
+
+    scene = tmp_path / "s"
+    writer = SceneWriter(scene)
+    writer.write_segmentation_data([4, 5], [0, 1], {1: 4})
+
+    names = load_class_names()
+    chair, sofa, wall = names.index("chair"), names.index("sofa"), 1
+
+    # raw label ids 40/41/50 fold via the mapping; 99 is unknown -> void;
+    # the id fix overrides instance 3's raw label (reference :533-535)
+    raw_to_reduced = {40: chair, 41: wall, 50: sofa}
+    annot = np.array([
+        [0.0, 0.0, 0.0, 1.0, 2.0, 3.0, 40, 0],   # chair (thing) - kept
+        [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 41, 1],   # wall (stuff) - dropped
+        [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 99, 2],   # unknown -> void - dropped
+        [3.0, 3.0, 3.0, 1.0, 1.0, 1.0, 41, 3],   # fixed to 50 -> sofa - kept
+    ], np.float32)
+    np.save(tmp_path / "scene_bbox.npy", annot)
+    boxes = import_gt_bboxes(tmp_path / "scene_bbox.npy", scene,
+                             raw_to_reduced, object_id_fixes={4: 50},
+                             visualize=True)
+    assert [b["class"] for b in boxes.values()] == [chair, sofa]
+    np.testing.assert_allclose(boxes[0]["extent"], [1, 2, 3])
+    assert (scene / "visualized_gtboxes" / f"{chair}_0.obj").exists()
+    pkl = pickle.loads((scene / "segmentation_data.pkl").read_bytes())
+    assert set(pkl["gt_bboxes"]) == {0, 1}
+    assert pkl["fg_classes"] == [4, 5]  # existing keys preserved
+
+    # mmdet: corners -> min/max box; stuff ('picture'->otherprop) dropped;
+    # the export fix (pure translation) is inverted before reduction
+    corners = (np.array([[sx, sy, sz] for sx in (0, 2) for sy in (0, 4)
+                         for sz in (0, 6)], np.float64) + [10, 10, 10])
+    dets = [{"corners": corners.tolist(), "label": "chair"},
+            {"corners": corners.tolist(), "label": "picture"}]
+    import json as _json
+    (tmp_path / "dets.json").write_text(_json.dumps(dets))
+    boxes_m = import_mmdet_bboxes(tmp_path / "dets.json", scene,
+                                  export_fix={"translation": [10, 10, 10]})
+    assert len(boxes_m) == 1 and boxes_m[0]["class"] == chair
+    np.testing.assert_allclose(boxes_m[0]["position"], [1, 2, 3])
+    np.testing.assert_allclose(boxes_m[0]["extent"], [2, 4, 6])
+    pkl = pickle.loads((scene / "segmentation_data.pkl").read_bytes())
+    assert set(pkl["mmdet_bboxes"]) == {0}
+
+    # the stored schema feeds the scene editor directly
+    from contrastive_lift_tpu.renderer.editing import points_in_oriented_box
+    import jax.numpy as jnp
+    inside = points_in_oriented_box(jnp.asarray([[1.0, 2.0, 3.0],
+                                                 [9.0, 9.0, 9.0]]),
+                                    boxes_m[0]["extent"],
+                                    boxes_m[0]["position"],
+                                    boxes_m[0]["orientation"])
+    assert inside.tolist() == [True, False]
