@@ -12,7 +12,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .common import SceneWriter, renumber_instances
+from .common import SceneWriter, renumber_instances, save_id_image
 
 # HyperSim uses NYU40 ids; the usual thing subset for panoptic evaluation
 NYU40_THING_IDS = {3, 4, 5, 6, 7, 10, 12, 14, 24, 25, 32, 33, 34, 35, 36, 37,
@@ -92,10 +92,9 @@ def preprocess_hypersim(scene_dir, output_dir, cam: str = "cam_00",
 
     renumbered, inst_to_sem = renumber_instances(gt_insts, gt_sems,
                                                  NYU40_THING_IDS)
-    from PIL import Image
     for name, inst in zip(names, renumbered):
-        Image.fromarray(inst.astype(np.uint8)).save(
-            writer.root / "rs_instance" / f"{name}.png")
+        # scene-wide renumbered ids can exceed 255 — widen, don't wrap
+        save_id_image(inst, writer.root / "rs_instance" / f"{name}.png")
     split_at = int(len(names) * (1 - test_fraction))
     writer.write_splits(names[:split_at], names[split_at:])
     writer.write_segmentation_data(

@@ -397,3 +397,58 @@ def test_bbox_importers_roundtrip(tmp_path):
                                     boxes_m[0]["position"],
                                     boxes_m[0]["orientation"])
     assert inside.tolist() == [True, False]
+
+
+def test_hypersim_preprocess_roundtrip(tmp_path):
+    """HyperSim HDF5 capture -> common layout (reference
+    preprocess_hypersim.py): tonemap, pose assembly (orientation flip +
+    meters-per-unit scale), NYU40 thing split, and scene-wide renumbered
+    instance ids that exceed 255 must widen, not wrap."""
+    h5py = pytest.importorskip("h5py")
+    from contrastive_lift_tpu.data.panopli import PanopLiSceneReader
+    from contrastive_lift_tpu.data.preprocessing.hypersim import (
+        preprocess_hypersim)
+
+    rng = np.random.default_rng(3)
+    scene = tmp_path / "ai_001_001"
+    img_dir = scene / "images" / "scene_cam_00_final_hdf5"
+    geo_dir = scene / "images" / "scene_cam_00_geometry_hdf5"
+    detail = scene / "_detail" / "cam_00"
+    for d in (img_dir, geo_dir, detail):
+        d.mkdir(parents=True)
+    h, w, n = 12, 16, 5
+    for fid in range(n):
+        with h5py.File(img_dir / f"frame.{fid:04d}.color.hdf5", "w") as f:
+            f["dataset"] = rng.uniform(0, 4, (h, w, 3)).astype(np.float32)
+        sem = np.full((h, w), 1, np.int16)        # wall (stuff)
+        sem[4:, 4:] = 5                           # chair (NYU40 thing)
+        inst = np.zeros((h, w), np.int32)
+        inst[4:, 4:] = 300 + fid                  # raw ids past uint8
+        with h5py.File(geo_dir / f"frame.{fid:04d}.semantic.hdf5", "w") as f:
+            f["dataset"] = sem
+        with h5py.File(geo_dir / f"frame.{fid:04d}.semantic_instance.hdf5",
+                       "w") as f:
+            f["dataset"] = inst
+    with h5py.File(detail / "camera_keyframe_positions.hdf5", "w") as f:
+        f["dataset"] = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    orients = np.stack([np.eye(3, dtype=np.float32)] * n)
+    with h5py.File(detail / "camera_keyframe_orientations.hdf5", "w") as f:
+        f["dataset"] = orients
+    (scene / "_detail" / "metadata_scene.csv").write_text(
+        "parameter_name,parameter_value\nmeters_per_asset_unit,0.5\n")
+
+    out = tmp_path / "converted"
+    info = preprocess_hypersim(scene, out, image_hw=(h, w))
+    assert info["frames"] == n
+    # renumbered GT instance ids must round-trip past uint8
+    ids = np.asarray(Image.open(out / "rs_instance" / "0000.png"))
+    assert ids.max() >= 1  # renumbered densely from 1
+    raw = np.asarray(Image.open(out / "m2f_instance" / "0000.png"))
+    assert raw.max() == 300  # raw id preserved, not 300 % 256 == 44
+
+    reader = PanopLiSceneReader(out, (h, w), max_depth=5.0)
+    sc = reader.load_scene()
+    assert sc.num_semantic_classes == 41
+    assert len(sc.train_frames) == 4 and len(sc.val_frames) == 1
+    # pose scale applied: translations are half the raw asset units
+    assert np.isfinite(sc.train_frames[0].cam2normscene).all()
