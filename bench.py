@@ -48,6 +48,17 @@ import numpy as np
 A100_BASELINE_RAYS_PER_SEC = 1.0e5
 
 
+def _honor_platform_env():
+    """The container's sitecustomize pre-registers the remote-TPU platform,
+    which overrides JAX_PLATFORMS (CLAUDE.md); re-apply the env var so
+    `JAX_PLATFORMS=cpu python bench.py` (smoke runs) behaves as documented."""
+    import os
+
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def bench_train():
     """Training-step throughput at the reference operating point (VERDICT r1
     #8): 128^3 grid, 2048 main rays + 1024-ray instance bundle + 32x1024-ray
@@ -56,6 +67,7 @@ def bench_train():
     epoch 3+l and segments at 6+l — trainer/train_panopli_tensorf.py:148-228).
     Prints one JSON line per phase."""
     import jax
+    _honor_platform_env()
 
     from contrastive_lift_tpu.config import Config
     from contrastive_lift_tpu.data.base import (InstanceBundleSampler,
@@ -146,7 +158,10 @@ def bench_train():
 def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          termination: bool = False, group: int = 1, sub_stride: int = 8,
          coarse_stride: int = 16):
+    import os
+
     import jax
+    _honor_platform_env()
     import jax.numpy as jnp
 
     from contrastive_lift_tpu.config import Config
@@ -154,7 +169,10 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     from contrastive_lift_tpu.ops.fused_grid import build_render_grids
     from contrastive_lift_tpu.renderer import render as R
 
-    grid = 192
+    # BENCH_GRID/BENCH_ITERS: smoke-test overrides ONLY (CI/CPU validation of
+    # the full bench code path at a small grid) — the recorded benchmark is
+    # the 192^3 default
+    grid = int(os.environ.get("BENCH_GRID", 192))
     # default chunk 8192: measured fastest pre-bucketing (16k: 327k rays/s,
     # 8k: 350k); re-sweep with --chunk after balance-point changes
     cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
@@ -224,7 +242,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     out = fn(params, fused, rays)
     float(out_sel(out))  # compile + sync
 
-    n_iters = max(1, 40 // group)
+    n_iters = int(os.environ.get("BENCH_ITERS", 0)) or max(1, 40 // group)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn(params, fused, rays)

@@ -43,6 +43,9 @@ POINTS = [
                               "--group", "4"]),
     ("chunk4096+group8", ["--chunk", "4096", "--group", "8"]),
     ("chunk16384+group4", ["--chunk", "16384", "--group", "4"]),
+    # train-side phases (one record per bench JSON line): decides
+    # fused_main_density adoption and re-pins the r3 steps/s table
+    ("train", ["--train"]),
 ]
 
 
@@ -53,17 +56,19 @@ def run_point(name, flags, out_path, timeout_s):
             [sys.executable, "bench.py", *flags],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=Path(__file__).resolve().parent.parent)
-        line = None
+        lines = []
         for ln in proc.stdout.strip().splitlines():
             try:
-                line = json.loads(ln)
+                lines.append(json.loads(ln))
             except json.JSONDecodeError:
                 continue
         rec = {"point": name, "flags": flags, "wall_s": round(time.time() - t0, 1)}
-        if line is None:
+        if not lines:
             rec["error"] = (proc.stderr or proc.stdout)[-800:]
-        else:
-            rec.update(line)
+        elif len(lines) == 1:
+            rec.update(lines[-1])
+        else:  # --train prints one line per phase
+            rec["phases"] = lines
     except subprocess.TimeoutExpired:
         rec = {"point": name, "flags": flags, "error": "timeout",
                "wall_s": round(time.time() - t0, 1)}
