@@ -66,6 +66,8 @@ def bench_train():
     epoch-gate combination (the reference enables instance optimization at
     epoch 3+l and segments at 6+l — trainer/train_panopli_tensorf.py:148-228).
     Prints one JSON line per phase."""
+    import os
+
     import jax
     _honor_platform_env()
 
@@ -78,7 +80,9 @@ def bench_train():
     from contrastive_lift_tpu.train.state import init_train_state
     from contrastive_lift_tpu.train.step import TrainGates, make_train_step
 
-    grid = 128
+    # BENCH_GRID/BENCH_ITERS smoke overrides apply here too (the recorded
+    # benchmark is the 128^3 default)
+    grid = int(os.environ.get("BENCH_GRID", 128))
     cfg = Config(batch_size=2048, min_grid_dim=grid, max_grid_dim=grid,
                  max_instances=3, instance_loss_mode="slow_fast",
                  use_DINO_style=True, batch_size_contrastive=1,
@@ -137,7 +141,7 @@ def bench_train():
         state, metrics = step(state, state_r, bm, bi, bs,
                               jax.random.PRNGKey(0), 1.0, 0.001)
         float(metrics["loss_main"])  # compile + sync
-        n_iters = 5
+        n_iters = int(os.environ.get("BENCH_ITERS", 0)) or 5
         t0 = time.perf_counter()
         for i in range(n_iters):
             state, metrics = step(state, state_r, bm, bi, bs,

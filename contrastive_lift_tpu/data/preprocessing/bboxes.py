@@ -209,6 +209,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.mode == "gt":
         from .scannet import load_raw_to_reduced
+        if args.raw_to_reduced is None:
+            # an empty mapping folds EVERY raw label to void, drops every
+            # box, and would silently overwrite a previously valid
+            # gt_bboxes with {} — refuse instead
+            parser.error("--mode gt requires --raw_to_reduced (raw label id "
+                         "-> reduced class id mapping)")
         boxes = import_gt_bboxes(args.bbox_path, args.scene_dir,
                                  load_raw_to_reduced(args.raw_to_reduced),
                                  class_set=args.class_set,

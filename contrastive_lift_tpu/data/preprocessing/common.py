@@ -32,9 +32,10 @@ def numeric_stem_key(stem: str) -> tuple:
     numeric order, then the rest lexically. A mixed directory ('0001.png'
     next to 'frame_extra.png') must sort, not raise — a bare
     ``int(s) if s.isnumeric() else s`` key makes sorted() compare int
-    against str and crash."""
+    against str and crash. isdecimal (not isnumeric) guards the int():
+    isnumeric admits Unicode numerics like '½' that int() rejects."""
     s = str(stem)
-    return (0, int(s), "") if s.isnumeric() else (1, 0, s)
+    return (0, int(s), "") if s.isdecimal() else (1, 0, s)
 
 
 def save_id_image(ids: np.ndarray, path) -> None:

@@ -109,7 +109,7 @@ def export_for_semantic_nerf(scene_dir, out_dir) -> Path:
     splits = json.loads((scene_dir / "splits.json").read_text())
     for split in ("train", "val"):
         if split in splits:
-            splits[split] = [f"{int(x):04d}" if str(x).isnumeric() else x
+            splits[split] = [f"{int(x):04d}" if str(x).isdecimal() else x
                              for x in splits[split]]
     (out_dir / "splits.json").write_text(json.dumps(splits))
     intr = scene_dir / "intrinsic" / "intrinsic_color.txt"
@@ -117,7 +117,7 @@ def export_for_semantic_nerf(scene_dir, out_dir) -> Path:
         shutil.copyfile(intr, out_dir / "intrinsic_color.txt")
     write_replica_traj(scene_dir, out_path=out_dir / "traj_w_c.txt")
     for f in sorted((scene_dir / "color").iterdir()):
-        stem = f"{int(f.stem):04d}" if f.stem.isnumeric() else f.stem
+        stem = f"{int(f.stem):04d}" if f.stem.isdecimal() else f.stem
         shutil.copyfile(f, out_dir / "rgb" / f"{stem}{f.suffix}")
     depth = scene_dir / "depth"
     if depth.exists():

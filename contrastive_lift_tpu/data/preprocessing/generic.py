@@ -16,7 +16,7 @@ from typing import Optional
 import numpy as np
 
 from .common import (SceneWriter, fold_semantics, numeric_stem_key,
-                     renumber_instances)
+                     renumber_instances, save_id_image)
 
 
 def _load_poses(pose_path: Path, names):
@@ -94,12 +94,12 @@ def preprocess_generic(frames_dir, pose_path, intrinsics_path, output_dir,
 
     inst_to_sem = {0: 0}
     if gt_insts and gt_sems:
-        from PIL import Image as PImage
         renumbered, inst_to_sem = renumber_instances(gt_insts, gt_sems,
                                                      thing_classes)
         for name, inst in zip(names, renumbered):
-            PImage.fromarray(inst.astype(np.uint8)).save(
-                writer.root / "rs_instance" / f"{name}.png")
+            # scene-wide renumbered ids can exceed 255 — widen, don't wrap
+            # (this write replaces the staged gt_instance SceneWriter wrote)
+            save_id_image(inst, writer.root / "rs_instance" / f"{name}.png")
 
     split_at = int(len(names) * (1 - test_fraction))
     writer.write_splits(names[:split_at], names[split_at:])

@@ -22,7 +22,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .common import SceneWriter, blur_score, fold_semantics, renumber_instances, select_keyframes
+from .common import (SceneWriter, blur_score, fold_semantics,
+                     renumber_instances, save_id_image, select_keyframes)
 from .sens_reader import iter_frames
 
 # Reduced indoor class set used for ScanNet-style scenes. Index 0 is void.
@@ -109,9 +110,11 @@ def preprocess_scannet(sens_path, output_dir, label_dir=None, m2f_dir=None,
             sem_raw = np.array(Image.open(Path(label_dir) / f"{idx}_sem.png"))
             inst_raw = np.array(Image.open(Path(label_dir) / f"{idx}_inst.png"))
             sem = fold_semantics(sem_raw, mapping) if mapping else sem_raw
-            sem = np.array(Image.fromarray(sem.astype(np.uint8)).resize(
+            # nearest-resize as int32 ('I' mode): raw ScanNet label/instance
+            # ids exceed 255 and a uint8 staging cast would wrap them
+            sem = np.array(Image.fromarray(sem.astype(np.int32)).resize(
                 (w, h), Image.NEAREST))
-            inst = np.array(Image.fromarray(inst_raw.astype(np.uint8)).resize(
+            inst = np.array(Image.fromarray(inst_raw.astype(np.int32)).resize(
                 (w, h), Image.NEAREST))
             gt_semantics.append(sem)
             gt_instances.append(inst)
@@ -137,8 +140,8 @@ def preprocess_scannet(sens_path, output_dir, label_dir=None, m2f_dir=None,
         renumbered, inst_to_sem = renumber_instances(
             gt_instances, gt_semantics, thing_classes)
         for name, inst in zip(names, renumbered):
-            Image.fromarray(inst.astype(np.uint8)).save(
-                writer.root / "rs_instance" / f"{name}.png")
+            # scene-wide renumbered ids can exceed 255 — widen, don't wrap
+            save_id_image(inst, writer.root / "rs_instance" / f"{name}.png")
     else:
         inst_to_sem = {0: 0}
 

@@ -452,3 +452,38 @@ def test_hypersim_preprocess_roundtrip(tmp_path):
     assert len(sc.train_frames) == 4 and len(sc.val_frames) == 1
     # pose scale applied: translations are half the raw asset units
     assert np.isfinite(sc.train_frames[0].cam2normscene).all()
+
+
+def test_generic_preprocess_wide_instance_ids(tmp_path):
+    """Scenes with >255 GT instances must survive the renumbered rs_instance
+    write (review r3: the generic/Replica path still uint8-wrapped after the
+    SceneWriter fix; ids 256+ fused into 0/1...)."""
+    from contrastive_lift_tpu.data.preprocessing.generic import (
+        preprocess_generic)
+    rng = np.random.default_rng(5)
+    raw = tmp_path / "raw"
+    for sub in ("frames", "poses", "sem", "inst"):
+        (raw / sub).mkdir(parents=True)
+    h, w = 18, 20
+    n_inst = 300  # > uint8
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            raw / "frames" / f"{i}.png")
+        np.savetxt(raw / "poses" / f"{i}.txt", np.eye(4))
+        sem = np.ones((h, w), np.int32)  # all thing class 1
+        # every pixel its own instance id, 1..360 (shared across frames)
+        inst = (np.arange(h * w, dtype=np.int32).reshape(h, w) % n_inst) + 1
+        Image.fromarray(sem).save(raw / "sem" / f"{i}.png")
+        Image.fromarray(inst).save(raw / "inst" / f"{i}.png")
+    np.savetxt(raw / "intrinsics.txt",
+               np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]]))
+    out = tmp_path / "scene"
+    preprocess_generic(raw / "frames", raw / "poses", raw / "intrinsics.txt",
+                       out, gt_semantics_dir=raw / "sem",
+                       gt_instance_dir=raw / "inst", num_classes=2,
+                       thing_classes=[1])
+    ids0 = np.asarray(Image.open(out / "rs_instance" / "0.png"))
+    ids1 = np.asarray(Image.open(out / "rs_instance" / "1.png"))
+    assert int(ids0.max()) == n_inst  # renumbered densely 1..300, no wrap
+    # the same raw id keeps the same renumbered id across frames
+    np.testing.assert_array_equal(ids0, ids1)

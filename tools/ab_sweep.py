@@ -69,6 +69,11 @@ def run_point(name, flags, out_path, timeout_s):
             rec.update(lines[-1])
         else:  # --train prints one line per phase
             rec["phases"] = lines
+        if proc.returncode != 0:
+            # partial output from a crashed bench (e.g. OOM mid-phase) must
+            # not read as a valid measurement
+            rec["error"] = (f"exit {proc.returncode}: "
+                            + (proc.stderr or proc.stdout)[-400:])
     except subprocess.TimeoutExpired:
         rec = {"point": name, "flags": flags, "error": "timeout",
                "wall_s": round(time.time() - t0, 1)}
