@@ -101,5 +101,46 @@ def main():
             run_point(f"{name}#r{rep}", flags, args.out, args.timeout)
 
 
+
+
+def summarize(path="/tmp/ab_sweep.jsonl"):
+    """Collapse the sweep records into one line per point (mean over reps,
+    spread, guardrails) — paste-ready for PERFORMANCE.md."""
+    import collections
+    recs = [json.loads(l) for l in Path(path).read_text().splitlines()]
+    by_point = collections.defaultdict(list)
+    for r in recs:
+        by_point[r["point"].split("#")[0]].append(r)
+    rows = []
+    for point, rs in by_point.items():
+        vals = [r["value"] for r in rs if "value" in r and "error" not in r]
+        errs = [r for r in rs if "error" in r]
+        if vals:
+            mean = sum(vals) / len(vals)
+            spread = (max(vals) - min(vals)) / mean if len(vals) > 1 else 0.0
+            tails = [max(r.get("budget_tail", 0), r.get("head_tail", 0))
+                     for r in rs if "value" in r]
+            rows.append((mean, f"| {point} | {mean/1000:.0f}k "
+                         f"(±{spread:.1%}) | {max(tails):.2g} |"
+                         + (f" {len(errs)} ERR" if errs else "")))
+        elif errs:
+            rows.append((0, f"| {point} | ERROR | — | "
+                         + errs[0]["error"][:120]))
+        else:  # train point: report the full-step phase
+            for r in rs:
+                for ph in r.get("phases", []):
+                    rows.append((0, f"| {point}:{ph['metric']} | "
+                                 f"{ph['value']} {ph['unit']} | — |"))
+    print("| point | rays/s (spread) | worst tail |")
+    print("|---|---|---|")
+    for _, row in sorted(rows, reverse=True):
+        print(row)
+
+
 if __name__ == "__main__":
-    main()
+    if "--summarize" in sys.argv:
+        summarize(sys.argv[sys.argv.index("--summarize") + 1]
+                  if len(sys.argv) > sys.argv.index("--summarize") + 1
+                  else "/tmp/ab_sweep.jsonl")
+    else:
+        main()
