@@ -367,6 +367,13 @@ class Trainer:
             sem_pred_m = np.where(frame.semantics == 0, 0, sem_pred)
             cm = ConfusionMatrix(self.scene.num_semantic_classes, ignore_class=[0])
             iou = cm.add_batch(sem_pred_m, frame.semantics, return_miou=True)
+            # In-training instance "PQ": argmax over the RENDERED embedding
+            # channels (2*max_instances of them), matching the reference's
+            # in-training val which also argmaxes rendered features before
+            # clustering exists. At max_instances=3 this is a 6-way argmax —
+            # a parity/progress signal only, NOT panoptic quality; the real
+            # PQ comes from the post-hoc clustering path (inference/cluster,
+            # cli/evaluate).
             inst_pred = out["instances"].argmax(-1)
             pq, sq, rq = panoptic_quality(
                 np.stack([sem_pred_m, inst_pred], -1),

@@ -63,6 +63,64 @@ def export_camera_poses(path, cam2worlds, intrinsics, image_hw) -> None:
     save_obj_points(path, pts)
 
 
+def plot_camera_poses(path, cam2worlds, focal_len_scaled: float = 1.0,
+                      aspect_ratio: float = 0.35, color="limegreen",
+                      color_by_index: bool = False) -> None:
+    """Matplotlib 3D figure of camera frustum pyramids (PDF/PNG by suffix).
+
+    Reference: dataset/camera_pose_visualizer.py:55-173 — each extrinsic
+    drawn as a 5-vertex pyramid (apex at camera center, base toward -z in
+    camera frame), depth-cue alpha scaled along the scene's dominant axis
+    (0.1..0.35 back-to-front), axis limits from the pose extents +1.
+
+    Redesign notes: one vectorized [N,5,3] vertex transform instead of a
+    per-pose class; ``color_by_index`` replaces the reference's separate
+    colorbar method (rainbow over frame index).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    poses = np.asarray(cam2worlds, np.float64)  # [N,4,4]
+    f = -focal_len_scaled  # base plane toward -z, as the reference flips it
+    a = abs(f) * aspect_ratio
+    vertex_std = np.array([[0, 0, 0, 1], [a, -a, f, 1], [a, a, f, 1],
+                           [-a, a, f, 1], [-a, -a, f, 1]])  # apex + 4 corners
+    verts = np.einsum("vj,nij->nvi", vertex_std, poses)[:, :, :3]  # [N,5,3]
+
+    t = poses[:, :3, 3]
+    # depth-cue alpha along the axis of largest camera spread (the reference
+    # hardcodes y for MOS corridors; generalizing keeps the cue meaningful
+    # for arbitrary scenes)
+    axis = int(np.argmax(t.max(0) - t.min(0))) if len(t) > 1 else 1
+    span = max(float(t[:, axis].max() - t[:, axis].min()), 1e-9)
+    alphas = (t[:, axis] - t[:, axis].min()) / span * 0.25 + 0.1
+
+    fig = plt.figure(figsize=(18, 7))
+    ax = fig.add_subplot(projection="3d")
+    mins, maxes = t.min(0), t.max(0)
+    ax.set_xlim(mins[0] - 1, maxes[0] + 1)
+    ax.set_ylim(mins[1] - 1, maxes[1] + 1)
+    ax.set_zlim(mins[2] - 1, maxes[2] + 1)
+    ax.set_xlabel("x"), ax.set_ylabel("y"), ax.set_zlabel("z")
+    cmap = plt.get_cmap("rainbow")
+    for i, (v, alpha) in enumerate(zip(verts, alphas)):
+        faces = [[v[0], v[1], v[2]], [v[0], v[2], v[3]], [v[0], v[3], v[4]],
+                 [v[0], v[4], v[1]], [v[1], v[2], v[3], v[4]]]
+        c = cmap(i / max(len(verts) - 1, 1)) if color_by_index else color
+        ax.add_collection3d(Poly3DCollection(
+            faces, facecolors=c, linewidths=0.3, edgecolors=c,
+            alpha=float(alpha)))
+    if color_by_index:
+        norm = matplotlib.colors.Normalize(vmin=0, vmax=len(verts))
+        fig.colorbar(matplotlib.cm.ScalarMappable(norm=norm, cmap=cmap),
+                     ax=ax, orientation="vertical", label="Frame Number")
+    ax.set_title("Extrinsic Parameters")
+    fig.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+
+
 def export_scene_point_cloud(path, frames, subsample: int = 10,
                              color_by: str = "rgb") -> None:
     """Back-project frames with depth into a world point cloud.

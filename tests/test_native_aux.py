@@ -85,6 +85,16 @@ def test_point_export(tmp_path):
     assert (tmp_path / "p.obj").read_text().count("\nv ") == 9
 
 
+def test_camera_pose_figure(tmp_path):
+    # frustum-pyramid figure (reference camera_pose_visualizer.py:55-173)
+    pytest.importorskip("matplotlib")
+    from contrastive_lift_tpu.utils.points import plot_camera_poses
+    poses = np.stack([np.eye(4)] * 4)
+    poses[:, 1, 3] = np.arange(4.0)  # spread along y -> alpha depth cue
+    plot_camera_poses(tmp_path / "poses.png", poses, color_by_index=True)
+    assert (tmp_path / "poses.png").stat().st_size > 1000
+
+
 def test_camera_frustum_and_orbit():
     K = np.array([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]])
     c2w = np.eye(4)
