@@ -161,7 +161,7 @@ def bench_train():
 
 def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          termination: bool = False, group: int = 1, sub_stride: int = 8,
-         coarse_stride: int = 16):
+         coarse_stride: int = 16, ckpt: str = None):
     import os
 
     import jax
@@ -173,49 +173,86 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     from contrastive_lift_tpu.ops.fused_grid import build_render_grids
     from contrastive_lift_tpu.renderer import render as R
 
-    # BENCH_GRID/BENCH_ITERS: smoke-test overrides ONLY (CI/CPU validation of
-    # the full bench code path at a small grid) — the recorded benchmark is
-    # the 192^3 default
-    grid = int(os.environ.get("BENCH_GRID", 192))
-    # default chunk 8192: measured fastest pre-bucketing (16k: 327k rays/s,
-    # 8k: 350k); re-sweep with --chunk after balance-point changes
-    cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
-                 instance_loss_mode="slow_fast", use_DINO_style=True,
-                 chunk=chunk, seed=0, precision="bf16").resolve_epochs()
-    num_classes = 21
-    mcfg, params, rcfg, state_r = build_model(
-        cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
-    rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
-                               head_dtype="bfloat16",
-                               coarse_stride=coarse_stride, max_segments=32,
-                               sub_stride=sub_stride,
-                               # pre-calibration cap scales with sub count
-                               # per segment (48 at the default stride 8)
-                               max_subsegments=48 * 8 // sub_stride)
+    if ckpt is not None:
+        # --ckpt: bench on a TRAINED field instead of the analytic shells
+        # (VERDICT r3 #3 — the recorded rays/s must hold on fields whose
+        # occupancy statistics come from real optimization, not a synthetic
+        # geometry that may flatter ESS). The checkpoint is expected from
+        # tools/run_reference_scale_e2e.py (its deterministic synthetic scene
+        # is regenerated for real camera rays); any io/checkpoint.py npz with
+        # the default flagship config works.
+        import sys as _sys
+        from pathlib import Path as _Path
+        _sys.path.insert(0, str(_Path(__file__).resolve().parent))
+        from contrastive_lift_tpu.inference.render import \
+            load_model_for_inference
+        from tools.pq_fidelity_gate import e2e_config, e2e_scene
+        scene = e2e_scene()
+        cfg = e2e_config()
+        params, mcfg, rcfg, state_r, meta = load_model_for_inference(
+            ckpt, cfg, scene.num_semantic_classes, step_ratio=0.25)
+        rcfg = dataclasses.replace(
+            rcfg, head_topk=24, head_topk_semins=12, head_dtype="bfloat16",
+            coarse_stride=coarse_stride, max_segments=32,
+            sub_stride=sub_stride, max_subsegments=48 * 8 // sub_stride)
+        rng = np.random.default_rng(0)
+        cam_rays = np.concatenate(
+            [f.rays for f in scene.val_frames]).astype(np.float32)
+        sel = rng.permutation(cam_rays.shape[0])
+        n_rays = chunk * group
+        rays_all = cam_rays[np.resize(sel, n_rays)]
+        fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                                   feature_dtype=jnp.bfloat16,
+                                   feature_cells_per_row=pack)
+        metric_name = "render_rays_per_sec_per_chip_trained"
+    else:
+        fused = None  # built below from the analytic field
+        metric_name = "render_rays_per_sec_per_chip"
 
-    # indoor-like analytic density field (see module docstring)
-    lin = jnp.linspace(-1, 1, grid)
-    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
-    r = jnp.sqrt(X**2 + Y**2 + Z**2)
-    th = 1.5 * 2.0 / grid
-    surf = ((jnp.abs(r - 0.35) < th) | (jnp.abs(r - 0.65) < th)
-            | ((Z < -0.9) & (jnp.sqrt(X**2 + Y**2) < 0.7)))
-    dense = jnp.where(surf, 14.0, 0.0).astype(jnp.float32)
+    if ckpt is None:
+        # BENCH_GRID/BENCH_ITERS: smoke-test overrides ONLY (CI/CPU validation
+        # of the full bench code path at a small grid) — the recorded
+        # benchmark is the 192^3 default
+        grid = int(os.environ.get("BENCH_GRID", 192))
+        # default chunk 8192: measured fastest pre-bucketing (16k: 327k
+        # rays/s, 8k: 350k); re-sweep with --chunk after balance-point changes
+        cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
+                     instance_loss_mode="slow_fast", use_DINO_style=True,
+                     chunk=chunk, seed=0, precision="bf16").resolve_epochs()
+        num_classes = 21
+        mcfg, params, rcfg, state_r = build_model(
+            cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
+        rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
+                                   head_dtype="bfloat16",
+                                   coarse_stride=coarse_stride,
+                                   max_segments=32, sub_stride=sub_stride,
+                                   # pre-calibration cap scales with sub count
+                                   # per segment (48 at the default stride 8)
+                                   max_subsegments=48 * 8 // sub_stride)
 
-    rng = np.random.default_rng(0)
-    n_rays = chunk * group
-    origins = rng.uniform(-0.2, 0.2, (n_rays, 3)).astype(np.float32)
-    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    rays_all = np.concatenate([
-        origins, dirs, np.full((n_rays, 1), 0.01, np.float32),
-        np.full((n_rays, 1), 1.5, np.float32)], axis=-1)
+        # indoor-like analytic density field (see module docstring)
+        lin = jnp.linspace(-1, 1, grid)
+        X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+        r = jnp.sqrt(X**2 + Y**2 + Z**2)
+        th = 1.5 * 2.0 / grid
+        surf = ((jnp.abs(r - 0.35) < th) | (jnp.abs(r - 0.65) < th)
+                | ((Z < -0.9) & (jnp.sqrt(X**2 + Y**2) < 0.7)))
+        dense = jnp.where(surf, 14.0, 0.0).astype(jnp.float32)
+
+        rng = np.random.default_rng(0)
+        n_rays = chunk * group
+        origins = rng.uniform(-0.2, 0.2, (n_rays, 3)).astype(np.float32)
+        dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        rays_all = np.concatenate([
+            origins, dirs, np.full((n_rays, 1), 0.01, np.float32),
+            np.full((n_rays, 1), 1.5, np.float32)], axis=-1)
+
+        fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                                   feature_dtype=jnp.bfloat16,
+                                   dense_override=dense,
+                                   feature_cells_per_row=pack)
     rays = jax.device_put(rays_all[:chunk])
-
-    fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
-                               feature_dtype=jnp.bfloat16,
-                               dense_override=dense,
-                               feature_cells_per_row=pack)
     if not use_l1:
         # A/B: L2-only flat grouped-bit selection (RenderConfig.use_l1)
         rcfg = dataclasses.replace(rcfg, use_l1=False)
@@ -255,7 +292,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
 
     rays_per_sec = n_iters * group * chunk / dt
     result = {
-        "metric": "render_rays_per_sec_per_chip",
+        "metric": metric_name,
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
@@ -287,6 +324,9 @@ if __name__ == "__main__":
         cs_arg = 16
         if "--cs" in sys.argv:
             cs_arg = int(sys.argv[sys.argv.index("--cs") + 1])
+        ckpt_arg = None
+        if "--ckpt" in sys.argv:
+            ckpt_arg = sys.argv[sys.argv.index("--ckpt") + 1]
         main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg,
              termination="--term" in sys.argv, group=group_arg,
-             sub_stride=sub_arg, coarse_stride=cs_arg)
+             sub_stride=sub_arg, coarse_stride=cs_arg, ckpt=ckpt_arg)

@@ -36,6 +36,9 @@ def main():
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--image_dim", type=int, nargs=2, default=[48, 64])
     parser.add_argument("--num_train", type=int, default=24)
+    parser.add_argument("--max_grid", type=int, default=128,
+                        help="final grid resolution (192 = the bench.py "
+                             "inference operating point)")
     args = parser.parse_args()
 
     from contrastive_lift_tpu.config import Config
@@ -57,7 +60,8 @@ def main():
         pe_sem=0, pe_ins=0, semantic_weight_mode="softmax",
         probabilistic_ce_mode="NoTTAConf",
         # reference-scale batching / lifecycle
-        batch_size=2048, chunk=4096, min_grid_dim=64, max_grid_dim=128,
+        batch_size=2048, chunk=4096, min_grid_dim=64,
+        max_grid_dim=args.max_grid,
         grid_upscale_epochs=[1, 2], bbox_aabb_reset_epochs=[1, 2],
         max_rays_instances=1024, max_labels_per_image=16,
         batch_size_segments=16, max_rays_segments=512, chunk_segment=2048,
@@ -78,6 +82,9 @@ def main():
                           "epoch_seconds": round(m.get("epoch_seconds", 0), 1),
                           **{k: round(float(v), 4) for k, v in val.items()}}),
               flush=True)
+    # final checkpoint: feeds bench.py --ckpt (trained-field throughput) and
+    # tools/pq_fidelity_gate.py (fast-path PQ parity) — VERDICT r3 #3/#4
+    trainer.save("final", cfg.max_epoch - 1)
 
     per_frame = render_frames(trainer.state.params, trainer.mcfg,
                               trainer.rcfg, trainer.state_r, scene.val_frames,
