@@ -161,7 +161,7 @@ def bench_train():
 
 def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          termination: bool = False, group: int = 1, sub_stride: int = 8,
-         coarse_stride: int = 16, ckpt: str = None):
+         coarse_stride: int = 16, ckpt: str = None, tail_eps: float = 0.0):
     import os
 
     import jax
@@ -264,7 +264,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     # per segment's L2 tests) — derived from the step geometry
     rcfg = R.occ_grouping_for(rcfg, state_r)
     rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
-                               termination=termination)
+                               termination=termination, tail_eps=tail_eps)
     if group > 1:
         # grouped dispatch: G chunks of identical per-chunk compute per
         # device call — amortizes the ~1.2 ms remote-tunnel dispatch cost
@@ -327,6 +327,10 @@ if __name__ == "__main__":
         ckpt_arg = None
         if "--ckpt" in sys.argv:
             ckpt_arg = sys.argv[sys.argv.index("--ckpt") + 1]
+        te_arg = 0.0
+        if "--tail-eps" in sys.argv:
+            te_arg = float(sys.argv[sys.argv.index("--tail-eps") + 1])
         main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg,
              termination="--term" in sys.argv, group=group_arg,
-             sub_stride=sub_arg, coarse_stride=cs_arg, ckpt=ckpt_arg)
+             sub_stride=sub_arg, coarse_stride=cs_arg, ckpt=ckpt_arg,
+             tail_eps=te_arg)

@@ -593,12 +593,34 @@ def _needed_budget(weight: jnp.ndarray, group: int, eps: float) -> jnp.ndarray:
     return jnp.max(jnp.where(w_rank > eps, ranks, 0), axis=1)
 
 
+def _needed_budget_bounded(weight: jnp.ndarray, group: int,
+                           tail_eps: float) -> jnp.ndarray:
+    """Per-ray smallest prefix K of (nearest-first) segment ranks whose
+    truncation residual stays below ``tail_eps``: the total compositing
+    weight in ranks > K is < tail_eps.
+
+    Unlike _needed_budget ("deepest rank with per-segment weight > eps",
+    which neither proves a residual bound nor exploits that many small
+    contributions may be jointly negligible), this is the PROVEN per-ray
+    bound the termination guardrail uses (see _two_level_density: dropping
+    ranks > K removes exactly their summed weight, which also bounds the
+    rgb/semantic map error since head outputs are in [0,1] after the
+    sigmoid/softmax). Sizing budgets at the probe MAX then guarantees every
+    probe ray's truncation error < tail_eps; drift beyond the probe
+    surfaces in budget_tail at render time."""
+    w_rank = weight.reshape(weight.shape[0], -1, group).sum(-1)   # [R, K]
+    cum = jnp.cumsum(w_rank, axis=1)
+    resid_after = cum[:, -1:] - cum                               # [R, K]
+    return jnp.sum(resid_after >= tail_eps, axis=1) + 1
+
+
 def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
                       probe_rays, fused: FusedGrids,
                       quantile: float = 0.999, margin: int = 2,
                       round_to: int = 4,
                       weight_eps: float = 1e-3,
-                      termination: bool = False) -> RenderConfig:
+                      termination: bool = False,
+                      tail_eps: float = 0.0) -> RenderConfig:
     """Transmittance-aware scene-adaptive segment budgets.
 
     Occupied-segment COUNTS overestimate the needed budget badly (on a shell
@@ -612,7 +634,14 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
     bounded by the skipped weight (< eps per segment) outside the quantile
     tail. May shrink OR grow the configured defaults; two probe compiles
     per scene. TPU-perf design — the reference samples densely and needs no
-    budgets."""
+    budgets.
+
+    With ``tail_eps`` > 0 the per-ray need uses the PROVEN residual bound
+    instead (_needed_budget_bounded, sized at the probe max): per-ray
+    truncation error < tail_eps on every probe ray — tighter budgets than
+    the per-segment-eps rank (many jointly-negligible tail segments no
+    longer inflate the need), with the guarantee the hand-tuned fixed
+    budgets lack (VERDICT r3 #6)."""
     from dataclasses import replace
     if rcfg.coarse_stride is None or fused.coarse_occ is None:
         return rcfg
@@ -620,13 +649,20 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
     cs = rcfg.coarse_stride
     S_c = -(-rcfg.n_samples // cs)
 
+    def need_of(w, group):
+        if tail_eps > 0:
+            return _needed_budget_bounded(w, group, tail_eps)
+        return _needed_budget(w, group, weight_eps)
+
     def pick_q(needed, cap, q):
         need = int(np.quantile(np.asarray(needed), q)) + margin
         need = -(-need // round_to) * round_to
         return max(8, min(cap, need))
 
     def pick(needed, cap):
-        return pick_q(needed, cap, quantile)
+        # the bounded-residual need is a per-ray PROOF — honor its max so
+        # the guarantee covers every probe ray, not a quantile of them
+        return pick_q(needed, cap, 1.0 if tail_eps > 0 else quantile)
 
     if not rcfg.use_l1:
         # L2-only mode: no segment budget to calibrate (every segment is a
@@ -637,8 +673,7 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
                        use_l1=True)
         w = jax.jit(lambda r: _two_level_density(
             mcfg, full, state, r, fused)[6])(probe)
-        out = replace(rcfg, max_segments=pick(
-            _needed_budget(w, cs, weight_eps), S_c))
+        out = replace(rcfg, max_segments=pick(need_of(w, cs), S_c))
     if rcfg.sub_stride is not None and fused.coarse_occ_tight is not None:
         sub = rcfg.sub_stride
         cand = out.max_segments * (cs // sub)
@@ -646,7 +681,7 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
                         term_first=0)
         w2 = jax.jit(lambda r: _two_level_density(
             mcfg, full2, state, r, fused)[6])(probe)
-        needed2 = _needed_budget(w2, sub, weight_eps)
+        needed2 = need_of(w2, sub)
         out = replace(out, max_subsegments=pick(needed2, cand))
         if termination:
             # two-phase early termination: pick the pass-A budget kA that

@@ -310,3 +310,76 @@ def test_termination_empty_rays_dont_claim_survivor_slots():
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(full[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
     assert float(out["budget_tail"]) <= 1e-3
+
+
+def test_bounded_tail_calibration_proves_residual():
+    """tail_eps calibration (VERDICT r3 #6): budgets sized by the per-ray
+    residual bound must (a) never exceed the per-segment-eps budgets, and
+    (b) keep every probe ray's truncation error — opacity delta vs the
+    full-budget render — below tail_eps."""
+    import dataclasses
+
+    from contrastive_lift_tpu.ops import fused_grid as fg
+    from contrastive_lift_tpu.renderer.render import (_needed_budget,
+                                                      _needed_budget_bounded)
+
+    # unit: many jointly-negligible tail segments no longer inflate the need
+    w = np.zeros((2, 12), np.float32)
+    w[0, :2] = [0.6, 0.39]          # opaque ray: everything in 2 ranks
+    w[0, 4:] = 1e-4                 # + dust the old metric ignores too
+    w[1, :8] = 0.9e-3               # grazing ray: all dust, total 7.2e-3
+    nb = np.asarray(_needed_budget_bounded(jnp.asarray(w), 1, 5e-3))
+    assert nb[0] == 2               # residual after rank 2 = 8e-4 < 5e-3
+    assert 1 < nb[1] <= 4           # must keep ranks until resid < 5e-3
+    old = np.asarray(_needed_budget(jnp.asarray(w), 1, 1e-3))
+    assert old[1] == 0              # old metric: nothing clears 1e-3 ...
+    assert nb[1] > old[1]           # ... though truncating all loses 7.2e-3
+
+    cfg = Config(min_grid_dim=33, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(cfg, 5, grid_dim=(33, 33, 33))
+    lin = jnp.linspace(-1, 1, 33)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    dense_field = jnp.where((jnp.abs(r - 0.55) < 0.12)
+                            | (jnp.abs(r - 0.3) < 0.08), 10.0, 0.0)
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    fused = fg.build_fused_grids(
+        params, mcfg, corner_features=("appearance",), with_occupancy=True,
+        dense_override=dense_field, with_atlas=True, with_occ_groups=True,
+        occ_bits_thres=thres)
+
+    rng = np.random.default_rng(5)
+    o = rng.uniform(-0.1, 0.1, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((128, 1), 0.01, np.float32),
+                           np.full((128, 1), 1.5, np.float32)], axis=-1)
+
+    S = rcfg.n_samples
+    base = R.occ_grouping_for(
+        dataclasses.replace(rcfg, coarse_stride=8, sub_stride=4,
+                            max_segments=-(-S // 8),
+                            max_subsegments=-(-S // 4)),
+        state_r)
+    full = R.render_rays(params, mcfg, base, state_r, rays, None, False,
+                         fused=fused)
+
+    eps = 5e-3
+    cal_std = R.calibrate_budgets(mcfg, base, state_r, jnp.asarray(rays),
+                                  fused)
+    cal_b = R.calibrate_budgets(mcfg, base, state_r, jnp.asarray(rays),
+                                fused, tail_eps=eps)
+    assert cal_b.max_segments <= cal_std.max_segments
+    assert cal_b.max_subsegments <= cal_std.max_subsegments
+
+    out_b = R.render_rays(params, mcfg, cal_b, state_r, rays, None, False,
+                          fused=fused)
+    op_err = np.abs(np.asarray(out_b["opacity"]) - np.asarray(full["opacity"]))
+    # the proof: every probe ray's truncation loss stays under tail_eps
+    # (margin/rounding only ADD budget; bf16 head noise doesn't touch opacity)
+    assert float(op_err.max()) <= eps + 1e-4, float(op_err.max())
