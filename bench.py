@@ -159,9 +159,66 @@ def bench_train():
         print(json.dumps(line))
 
 
+def _train_full_step_rate():
+    """Full 3-phase production train step rate — the driver-visible train
+    metric (VERDICT r3 #5: training throughput must reach the recorded bench,
+    not live only behind ``--train``). Operating point = bench_train's
+    ``all+topk64`` phase: 128^3 grid, all gates on, head_topk 64 (what the
+    Trainer's per-stage auto-calibration picks on carved fields,
+    Config.head_topk_train_auto). Returns (steps_per_sec, seconds_per_step)."""
+    import os
+
+    import jax
+    from contrastive_lift_tpu.config import Config
+    from contrastive_lift_tpu.data.base import (InstanceBundleSampler,
+                                                RayPoolSampler,
+                                                SegmentBundleSampler)
+    from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
+    from contrastive_lift_tpu.factory import build_model, class_weights_for
+    from contrastive_lift_tpu.train.state import init_train_state
+    from contrastive_lift_tpu.train.step import TrainGates, make_train_step
+
+    grid = int(os.environ.get("BENCH_GRID", 128))
+    cfg = Config(batch_size=2048, min_grid_dim=grid, max_grid_dim=grid,
+                 max_instances=3, instance_loss_mode="slow_fast",
+                 use_DINO_style=True, batch_size_contrastive=1,
+                 max_rays_instances=1024, batch_size_segments=32,
+                 max_rays_segments=1024, precision="bf16",
+                 seed=0).resolve_epochs()
+    scene = make_synthetic_scene(num_spheres=3, num_train=4, num_val=1,
+                                 image_dim=(64, 64), seed=0)
+    mcfg, params, rcfg, state_r = build_model(
+        cfg, scene.num_semantic_classes, scene.scene_bounds, (grid,) * 3)
+    rcfg = dataclasses.replace(rcfg, head_topk=64)
+    weights = class_weights_for(cfg, scene.segmentation)
+    nrng = np.random.default_rng(0)
+    bm = RayPoolSampler(scene.train_frames,
+                        scene.num_semantic_classes).sample(nrng, cfg.batch_size)
+    bi = InstanceBundleSampler(scene.train_frames, cfg.max_rays_instances,
+                               cfg.max_labels_per_image).sample(
+                                   nrng, cfg.batch_size_contrastive)
+    bs = SegmentBundleSampler(scene.train_frames, cfg.max_rays_segments).sample(
+        nrng, cfg.batch_size_segments)
+    gates = TrainGates(semantics_on=True, instances_on=True, segments_on=True)
+    state = init_train_state(cfg, params)
+    step = make_train_step(cfg, mcfg, rcfg, gates, weights, params)
+    state, metrics = step(state, state_r, bm, bi, bs,
+                          jax.random.PRNGKey(0), 1.0, 0.001)
+    float(metrics["loss_main"])  # compile + sync
+    n_iters = int(os.environ.get("BENCH_ITERS", 0)) or 5
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, metrics = step(state, state_r, bm, bi, bs,
+                              jax.random.PRNGKey(i + 1), 1.0, 0.001)
+    float(metrics["loss_main"])  # host fetch = true synchronization
+    dt = (time.perf_counter() - t0) / n_iters
+    return round(1.0 / dt, 3), round(dt, 4)
+
+
 def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          termination: bool = False, group: int = 1, sub_stride: int = 8,
-         coarse_stride: int = 16, ckpt: str = None, tail_eps: float = 0.0):
+         coarse_stride: int = 16, ckpt: str = None, tail_eps: float = 0.0,
+         train_metric: bool = True, head_term: bool = False):
     import os
 
     import jax
@@ -264,7 +321,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     # per segment's L2 tests) — derived from the step geometry
     rcfg = R.occ_grouping_for(rcfg, state_r)
     rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
-                               termination=termination, tail_eps=tail_eps)
+                               termination=termination, tail_eps=tail_eps,
+                               head_term=head_term)
     if group > 1:
         # grouped dispatch: G chunks of identical per-chunk compute per
         # device call — amortizes the ~1.2 ms remote-tunnel dispatch cost
@@ -302,6 +360,21 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         "budget_tail": round(float(jnp.max(out["budget_tail"])), 6),
         "head_tail": round(float(jnp.max(out["head_tail"])), 6),
     }
+    if train_metric:
+        # free the 192^3 render tables before building the train model
+        del out, fused, params
+        import gc
+        gc.collect()
+        try:
+            tps, spt = _train_full_step_rate()
+            result["train_steps_per_sec"] = tps
+            result["train_seconds_per_step"] = spt
+            # pinned same-host reference full-step baseline: 0.081 steps/s
+            # on one CPU core at identical batch/stream shapes
+            # (tools/bench_reference_cpu.py --train, BASELINE.md)
+            result["train_vs_cpu_core_baseline"] = round(tps / 0.081, 1)
+        except Exception as e:  # the render metric must still be recorded
+            result["train_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
 
 
@@ -333,4 +406,6 @@ if __name__ == "__main__":
         main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg,
              termination="--term" in sys.argv, group=group_arg,
              sub_stride=sub_arg, coarse_stride=cs_arg, ckpt=ckpt_arg,
-             tail_eps=te_arg)
+             tail_eps=te_arg,
+             train_metric="--no-train-metric" not in sys.argv,
+             head_term="--hterm" in sys.argv)

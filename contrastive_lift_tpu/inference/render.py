@@ -104,7 +104,8 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   chunk: int = 8192, progress: bool = False,
                   use_fused: bool = True, mesh=None, data_axis: str = "data",
                   auto_budget: bool = True, bake_heads: bool = False,
-                  termination: bool = False, dispatch_group: int = 4):
+                  termination: bool = False, head_term: bool = False,
+                  dispatch_group: int = 4):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
     Builds the fused dense grids once (parameters are fixed at inference) so
@@ -130,7 +131,8 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
         probe = np.concatenate(
             [f.rays[::max(1, len(f.rays) // per)][:per] for f in sel])
         rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, probe, fused,
-                                   termination=termination)
+                                   termination=termination,
+                                   head_term=head_term)
     if bake_heads and fused is not None and fused.compact_cells is not None:
         from ..renderer.bake import bake_head_tables
         fused = bake_head_tables(params, mcfg, fused)
@@ -261,7 +263,8 @@ def render_checkpoint_outputs(
         segmentwise: bool = False, use_silverman: bool = False,
         cluster_size: int = 500, cached_centroids_path=None,
         chunk: int = 8192, save_visualizations: bool = True,
-        mesh=None, termination: bool = False) -> dict:
+        mesh=None, termination: bool = False,
+        head_term: bool = False) -> dict:
     """Full inference: render + cluster + write artifacts. Returns summary."""
     output_dir = Path(output_dir)
     for sub in ("vis_semantics_and_surrogate", "pred_semantics", "pred_surrogateid"):
@@ -271,7 +274,7 @@ def render_checkpoint_outputs(
     t_render0 = time.time()
     per_frame = render_frames(params, mcfg, rcfg, state_r, frames, chunk,
                               mesh=mesh, data_axis=cfg.data_axis,
-                              termination=termination)
+                              termination=termination, head_term=head_term)
     t_render = time.time() - t_render0
 
     all_sem = [f["semantics"] for f in per_frame]

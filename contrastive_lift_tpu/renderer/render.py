@@ -117,6 +117,21 @@ class RenderConfig:
     # 0 disables. Requires sub_stride; supersedes max_subsegments_light.
     term_first: int = 0
     term_fraction: float = 0.25
+    # two-phase head evaluation (the head analog of term_first): heads run
+    # on the ``head_term_first`` highest-weight samples for EVERY ray; only
+    # the ``head_term_fraction`` rays whose DROPPED WEIGHT MASS
+    # (sum of w_k[:, head_term_first:], the compositing weight pass B would
+    # add back) is greatest evaluate the remaining head_topk -
+    # head_term_first samples, and their contributions are added back per
+    # ray (head maps are weighted SUMS, so the splice is exact addition).
+    # Error contract: a non-survivor ray's map error is bounded per channel
+    # by its dropped mass times the head output range (rgb/softmax outputs
+    # are in [0,1]); the head_tail guardrail reports the max dropped mass
+    # over non-survivors. Calibrated by calibrate_budgets(head_term=True)
+    # to keep that mass below head_tail_eps on probe rays; 0 disables.
+    # Requires head_topk; inference only.
+    head_term_first: int = 0
+    head_term_fraction: float = 0.25
     # unique-cell dedup for the head feature gathers: gather the wide corner
     # rows once per live unique-cell RUN per ray (equal-cell samples are
     # contiguous in time — no sort) and redistribute per sample. EXACT while
@@ -149,6 +164,10 @@ class RenderConfig:
         if self.head_dedup_cells is not None and self.head_topk is None:
             raise ValueError(
                 "head_dedup_cells dedups the top-k head gather stream; "
+                "set head_topk too (same contract as head_topk_semins)")
+        if self.head_term_first and self.head_topk is None:
+            raise ValueError(
+                "head_term_first splits the top-k head sample budget; "
                 "set head_topk too (same contract as head_topk_semins)")
 
 
@@ -620,7 +639,9 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
                       round_to: int = 4,
                       weight_eps: float = 1e-3,
                       termination: bool = False,
-                      tail_eps: float = 0.0) -> RenderConfig:
+                      tail_eps: float = 0.0,
+                      head_term: bool = False,
+                      head_tail_eps: float = 2e-3) -> RenderConfig:
     """Transmittance-aware scene-adaptive segment budgets.
 
     Occupied-segment COUNTS overestimate the needed budget badly (on a shell
@@ -712,6 +733,31 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
             light = pick_q(needed2, cand, 1.0 - out.heavy_fraction / 2)
             if light < out.max_subsegments:
                 out = replace(out, max_subsegments_light=light)
+        if head_term and out.head_topk is not None:
+            # two-phase head evaluation (RenderConfig.head_term_first): pick
+            # the pass-A budget kA minimizing expected head samples
+            # kA + P(dropped mass > head_tail_eps) * margin * (head_topk -
+            # kA). The contract is MASS-based: a non-survivor ray's map
+            # error is bounded per channel by the compositing weight its
+            # skipped samples carry, so the survivor fraction covers the
+            # probe rays whose top-k tail mass exceeds head_tail_eps, with
+            # the same 1.5x + 1/64 drift margin as termination; drift
+            # beyond the probe surfaces in head_tail at render time.
+            k = min(out.head_topk, w2.shape[1])
+            w_kp = np.asarray(jax.lax.top_k(w2, k)[0])  # [R, k] sorted desc
+            tail_mass = np.cumsum(w_kp[:, ::-1], axis=1)[:, ::-1]
+            best_h = None
+            for kA in (4, 6, 8, 12, 16):
+                if kA >= k:
+                    continue
+                over = tail_mass[:, kA] > head_tail_eps
+                frac = min(1.0, float(over.mean()) * 1.5 + 1 / 64)
+                cost = kA + frac * (k - kA)
+                if best_h is None or cost < best_h[0]:
+                    best_h = (cost, kA, frac)
+            if best_h is not None and best_h[0] < k:
+                out = replace(out, head_term_first=best_h[1],
+                              head_term_fraction=best_h[2])
     # head_topk is deliberately NOT calibrated from above-threshold sample
     # counts: grazing rays clear the 1e-4 weight threshold on dozens of
     # near-weightless samples, inflating k well past what map fidelity needs
@@ -770,6 +816,114 @@ def _head_weights(rcfg, weight):
     if rcfg.stop_semantic_grad:
         w = jax.lax.stop_gradient(w)
     return w
+
+
+def _heads_two_phase(params, mcfg, rcfg: RenderConfig, fused, rays, xyz_k,
+                     w_k, app_mask, k2: int, compute_dtype, head_tail):
+    """Two-phase head evaluation (RenderConfig.head_term_first).
+
+    Pass A evaluates every ray's ``kA = head_term_first`` highest-weight
+    samples; pass B re-evaluates only the ``head_term_fraction`` rays whose
+    DROPPED WEIGHT MASS (sum of w_k[:, kA:] — columns are weight-sorted;
+    exactly the compositing weight pass B would add back) is greatest, on
+    the remaining head_topk - kA samples, and scatter-adds their
+    contributions per ray (head maps are weighted SUMS over samples, so
+    the splice is exact addition; the smaller sem/ins budget k2 splits the
+    same way). Error contract: a non-survivor ray's map error is bounded
+    per channel by its dropped mass times the head output range (rgb and
+    softmax outputs live in [0,1] — same bounding style as the reference's
+    raymarch_weight_thres mask, panopli_tensoRF_renderer.py:103);
+    ``head_tail`` reports the max dropped mass over non-survivors, which
+    calibrate_budgets(head_term=True) keeps below head_tail_eps on probe
+    rays."""
+    R, k = w_k.shape
+    kA = rcfg.head_term_first
+    k2A = min(kA, k2)
+    n_s = max(1, min(R, int(round(R * rcfg.head_term_fraction))))
+    drop_key = jnp.sum(w_k[:, kA:], axis=1)
+    order = jnp.argsort(drop_key)
+    surv = order[R - n_s:]
+    if n_s < R:
+        head_tail = jnp.maximum(head_tail,
+                                jnp.max(drop_key[order[:R - n_s]]))
+
+    w_h = _head_weights(rcfg, w_k)                      # [R, k, 1]
+    viewdirs = rays[:, 3:6]
+
+    def app_block(xyz_s, view_r, mask_s):
+        Rn, Ks = xyz_s.shape[:2]
+        flat_s = xyz_s.reshape(-1, 3)
+        vd = jnp.broadcast_to(view_r[:, None, :], (Rn, Ks, 3)).reshape(-1, 3)
+        mf = mask_s.reshape(-1, 1)
+        rgb_s = tf.render_appearance(
+            params, mcfg, vd, flat_s, compute_dtype,
+            feats=_branch_feats(params, mcfg, fused, "appearance", flat_s))
+        rgb_s = jnp.where(mf, rgb_s, 0.0).reshape(Rn, Ks, 3)
+        dist_s = None
+        if mcfg.use_distilled:
+            d = tf.render_distilled(
+                params, mcfg, flat_s,
+                feats=_branch_feats(params, mcfg, fused, "feature", flat_s))
+            dist_s = jnp.where(mf, d, 0.0).reshape(Rn, Ks, -1)
+        return rgb_s, dist_s
+
+    def semins_block(xyz_s, dist_s, mask_s):
+        Rn, Ks = xyz_s.shape[:2]
+        flat_s = xyz_s.reshape(-1, 3)
+        mf = mask_s.reshape(-1, 1)
+        dfh = None
+        if dist_s is not None:
+            dfh = dist_s.reshape(Rn * Ks, -1)
+            if rcfg.feature_stop_grad:
+                dfh = jax.lax.stop_gradient(dfh)
+        sem = tf.render_semantics(
+            params, mcfg, flat_s, dfh, compute_dtype,
+            feats=_branch_feats(params, mcfg, fused, "semantic", flat_s))
+        ins = tf.render_instances(
+            params, mcfg, flat_s, dfh, compute_dtype,
+            feats=_branch_feats(params, mcfg, fused, "instance", flat_s))
+        sem = jnp.where(mf, sem, 0.0).reshape(Rn, Ks, -1)
+        ins = jnp.where(mf, ins, 0.0).reshape(Rn, Ks, -1)
+        return sem, ins
+
+    # pass A: every ray, its kA highest-weight samples
+    rgbA, distA = app_block(xyz_k[:, :kA], viewdirs, app_mask[:, :kA])
+    semA, insA = semins_block(xyz_k[:, :k2A],
+                              None if distA is None else distA[:, :k2A],
+                              app_mask[:, :k2A])
+    rgb_map = jnp.sum(w_k[:, :kA, None] * rgbA, axis=-2)
+    semantic_map = jnp.sum(w_h[:, :k2A] * semA, axis=-2)
+    instance_map = jnp.sum(w_h[:, :k2A] * insA, axis=-2)
+    distilled_map = None
+    if distA is not None:
+        distilled_map = jnp.sum(w_h[:, :kA] * distA, axis=-2)
+
+    # pass B: survivors only, on the remaining samples; additive splice
+    xyzB = jnp.take(xyz_k[:, kA:], surv, axis=0)
+    maskB = jnp.take(app_mask[:, kA:], surv, axis=0)
+    rgbB, distB = app_block(xyzB, jnp.take(viewdirs, surv, axis=0), maskB)
+    w_kB = jnp.take(w_k[:, kA:], surv, axis=0)
+    w_hB = jnp.take(w_h[:, kA:], surv, axis=0)
+    rgb_map = rgb_map.at[surv].add(jnp.sum(w_kB[..., None] * rgbB, axis=-2))
+    if distB is not None:
+        distilled_map = distilled_map.at[surv].add(
+            jnp.sum(w_hB * distB, axis=-2))
+    if k2A < k2:
+        nB2 = k2 - k2A
+        semB, insB = semins_block(
+            xyzB[:, :nB2], None if distB is None else distB[:, :nB2],
+            maskB[:, :nB2])
+        semantic_map = semantic_map.at[surv].add(
+            jnp.sum(w_hB[:, :nB2] * semB, axis=-2))
+        instance_map = instance_map.at[surv].add(
+            jnp.sum(w_hB[:, :nB2] * insB, axis=-2))
+
+    if distilled_map is not None:
+        distilled_map = distilled_map / (
+            jnp.linalg.norm(distilled_map, axis=-1, keepdims=True) + 1e-12)
+    else:
+        distilled_map = jnp.zeros((1, 1), jnp.float32)
+    return rgb_map, semantic_map, instance_map, distilled_map, head_tail
 
 
 def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
@@ -839,6 +993,24 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         flat2 = flat
 
     app_mask = head_weight > rcfg.raymarch_weight_thres         # [R, Sh]
+
+    use_hterm = (0 < rcfg.head_term_first < Sh and not is_train
+                 and dedup is None
+                 and rcfg.head_topk is not None and rcfg.head_topk < S
+                 and not (fused is not None
+                          and "baked" in fused.compact_feature_cells))
+    if use_hterm:
+        (rgb_map, semantic_map, instance_map, distilled_map,
+         head_tail) = _heads_two_phase(params, mcfg, rcfg, fused, rays,
+                                       xyz_k, head_weight, app_mask, k2,
+                                       compute_dtype, head_tail)
+        opacity = jnp.sum(weight, -1)
+        semantic_map = _semantic_map_postprocess(rcfg, semantic_map)
+        return _finish_maps(rcfg, rng_bg, is_train, weight, z_vals, opacity,
+                            rgb_map, semantic_map, instance_map,
+                            distilled_map, dist_reg, budget_tail, head_tail,
+                            dedup_tail)
+
     mask_flat = app_mask.reshape(-1, 1)
     mask_flat2 = app_mask[:, :k2].reshape(-1, 1)
 
@@ -901,6 +1073,16 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
 
     semantic_map = _semantic_map_postprocess(rcfg, semantic_map)
 
+    return _finish_maps(rcfg, rng_bg, is_train, weight, z_vals, opacity,
+                        rgb_map, semantic_map, instance_map, distilled_map,
+                        dist_reg, budget_tail, head_tail, dedup_tail)
+
+
+def _finish_maps(rcfg, rng_bg, is_train, weight, z_vals, opacity, rgb_map,
+                 semantic_map, instance_map, distilled_map, dist_reg,
+                 budget_tail, head_tail, dedup_tail):
+    """Shared map finishing: white-background compositing (+train-time coin,
+    reference trainer :101), depth, output dict."""
     white = rcfg.white_bg
     if is_train and rng_bg is not None:
         coin = jax.random.uniform(rng_bg, ()) < 0.5

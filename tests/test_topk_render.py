@@ -14,6 +14,10 @@ from contrastive_lift_tpu.train.state import init_train_state
 from contrastive_lift_tpu.train.step import TrainGates, make_train_step
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _trained_setup():
     scene = make_synthetic_scene(num_spheres=3, num_train=4, num_val=1,
                                  image_dim=(24, 32), seed=1)
@@ -61,3 +65,69 @@ def test_bf16_heads_close_to_fp32():
     bf = R.render_rays(params, mcfg, rcfg_bf, state_r, rays, None, False)
     np.testing.assert_allclose(np.asarray(bf["rgb"]), np.asarray(f32["rgb"]),
                                atol=2e-2)
+
+
+def test_head_term_frac1_matches_topk():
+    """Two-phase head evaluation with fraction=1.0 is an exact additive
+    splice: every ray runs pass B, so maps must equal the plain top-k render
+    up to summation-order rounding (RenderConfig.head_term_first)."""
+    scene, cfg, mcfg, params, rcfg, state_r = _trained_setup()
+    rays = scene.val_frames[0].rays[::5][:96]
+    k = rcfg.n_samples // 2
+    base = dataclasses.replace(rcfg, head_topk=k)
+    ht = dataclasses.replace(base, head_term_first=6, head_term_fraction=1.0)
+    a = R.render_rays(params, mcfg, base, state_r, rays, None, False)
+    b = R.render_rays(params, mcfg, ht, state_r, rays, None, False)
+    for key in ("rgb", "semantics", "instances", "depth", "opacity"):
+        np.testing.assert_allclose(np.asarray(b[key]), np.asarray(a[key]),
+                                   atol=1e-5, err_msg=key)
+
+
+def test_head_term_frac1_matches_topk_semins_budget():
+    """The k2 (head_topk_semins) budget must splice exactly too, in both
+    regimes: kA < k2 (pass B re-runs sem/ins) and kA >= k2 (sem/ins fully
+    covered by pass A)."""
+    scene, cfg, mcfg, params, rcfg, state_r = _trained_setup()
+    rays = scene.val_frames[0].rays[::5][:96]
+    k = rcfg.n_samples // 2
+    base = dataclasses.replace(rcfg, head_topk=k, head_topk_semins=8)
+    a = R.render_rays(params, mcfg, base, state_r, rays, None, False)
+    for kA in (4, 12):  # straddle k2=8
+        ht = dataclasses.replace(base, head_term_first=kA,
+                                 head_term_fraction=1.0)
+        b = R.render_rays(params, mcfg, ht, state_r, rays, None, False)
+        for key in ("rgb", "semantics", "instances"):
+            np.testing.assert_allclose(
+                np.asarray(b[key]), np.asarray(a[key]), atol=1e-5,
+                err_msg=f"kA={kA} {key}")
+
+
+def test_head_term_partial_fraction_contract():
+    """With a partial survivor fraction the maps stay within the head_tail
+    contract on a surface-peaked trained field: non-survivor rays only drop
+    samples whose weight the threshold mask would zero anyway."""
+    scene, cfg, mcfg, params, rcfg, state_r = _trained_setup()
+    rays = scene.val_frames[0].rays[::5][:96]
+    k = rcfg.n_samples // 2
+    base = dataclasses.replace(rcfg, head_topk=k)
+    ht = dataclasses.replace(base, head_term_first=k // 2,
+                             head_term_fraction=0.5)
+    a = R.render_rays(params, mcfg, base, state_r, rays, None, False)
+    b = R.render_rays(params, mcfg, ht, state_r, rays, None, False)
+    tail = float(b["head_tail"])
+    # head_tail IS the max dropped weight mass over non-survivors; per-channel
+    # map error is bounded by that mass times the head output range ([0,1]
+    # for rgb; instances are tanh-bounded embeddings here)
+    bound = max(2e-3, tail)
+    for key in ("rgb", "instances"):
+        np.testing.assert_allclose(np.asarray(b[key]), np.asarray(a[key]),
+                                   atol=bound, err_msg=key)
+
+
+def test_head_term_requires_topk():
+    import pytest
+    from contrastive_lift_tpu.renderer.render import RenderConfig
+    rcfg = RenderConfig(n_samples=64, num_semantic_classes=5,
+                        dim_feature_instance=6)
+    with pytest.raises(ValueError):
+        dataclasses.replace(rcfg, head_term_first=8)

@@ -383,3 +383,69 @@ def test_bounded_tail_calibration_proves_residual():
     # the proof: every probe ray's truncation loss stays under tail_eps
     # (margin/rounding only ADD budget; bf16 head noise doesn't touch opacity)
     assert float(op_err.max()) <= eps + 1e-4, float(op_err.max())
+
+
+def test_head_term_on_fused_path_exact_and_calibrated():
+    """head_term_first two-phase head evaluation on the production fused-ESS
+    path: with head_term_fraction=1.0 the additive splice equals the plain
+    top-k fused render up to summation-order rounding; calibration
+    (head_term=True) picks a (kA, fraction) pair that renders within the
+    head_tail contract of the full-k render."""
+    import dataclasses
+
+    from contrastive_lift_tpu.ops import fused_grid as fg
+
+    cfg = Config(min_grid_dim=33, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 seed=0).resolve_epochs()
+    mcfg, params, rcfg, state_r = build_model(cfg, 5, grid_dim=(33, 33, 33))
+    lin = jnp.linspace(-1, 1, 33)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    r = jnp.sqrt(X**2 + Y**2 + Z**2)
+    dense_field = jnp.where((jnp.abs(r - 0.55) < 0.12)
+                            | (jnp.abs(r - 0.3) < 0.08), 10.0, 0.0)
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    fused = fg.build_fused_grids(
+        params, mcfg, corner_features=("appearance",), with_occupancy=True,
+        dense_override=dense_field, with_atlas=True, with_occ_groups=True,
+        occ_bits_thres=thres)
+
+    rng = np.random.default_rng(13)
+    o = rng.uniform(-0.1, 0.1, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((128, 1), 0.01, np.float32),
+                           np.full((128, 1), 1.5, np.float32)], axis=-1)
+
+    S = rcfg.n_samples
+    base = R.occ_grouping_for(
+        dataclasses.replace(rcfg, coarse_stride=8, sub_stride=4,
+                            max_segments=-(-S // 8),
+                            max_subsegments=-(-S // 4), head_topk=16),
+        state_r)
+
+    single = R.render_rays(params, mcfg, base, state_r, rays, None, False,
+                           fused=fused)
+    ht_all = dataclasses.replace(base, head_term_first=6,
+                                 head_term_fraction=1.0)
+    out_h = R.render_rays(params, mcfg, ht_all, state_r, rays, None, False,
+                          fused=fused)
+    for k in ("rgb", "depth", "semantics", "instances", "opacity"):
+        np.testing.assert_allclose(np.asarray(out_h[k]),
+                                   np.asarray(single[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+    cal = R.calibrate_budgets(mcfg, base, state_r, jnp.asarray(rays), fused,
+                              head_term=True)
+    assert cal.head_term_first > 0 and 0 < cal.head_term_fraction <= 1.0
+    out_c = R.render_rays(params, mcfg, cal, state_r, rays, None, False,
+                          fused=fused)
+    np.testing.assert_allclose(np.asarray(out_c["rgb"]),
+                               np.asarray(single["rgb"]), atol=2e-2)
+    # heavy/light bucketing must still calibrate when termination is off
+    # (regression: the head_term block must not break the if/elif chain)
+    if base.heavy_fraction > 0:
+        assert cal.max_subsegments_light <= cal.max_subsegments

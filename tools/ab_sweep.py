@@ -43,6 +43,12 @@ POINTS = [
                               "--group", "4"]),
     ("chunk4096+group8", ["--chunk", "4096", "--group", "8"]),
     ("chunk16384+group4", ["--chunk", "16384", "--group", "4"]),
+    # round-4 two-phase head evaluation (RenderConfig.head_term_first)
+    ("hterm", ["--hterm"]),
+    ("term+hterm", ["--term", "--hterm"]),
+    ("term+hterm+group4", ["--term", "--hterm", "--group", "4"]),
+    ("no-l1+term+hterm+group4", ["--no-l1", "--term", "--hterm",
+                                 "--group", "4"]),
     # train-side phases (one record per bench JSON line): decides
     # fused_main_density adoption and re-pins the r3 steps/s table
     ("train", ["--train"]),
@@ -53,7 +59,9 @@ def run_point(name, flags, out_path, timeout_s):
     t0 = time.time()
     try:
         proc = subprocess.run(
-            [sys.executable, "bench.py", *flags],
+            # sweep points measure the render path only — skip the default
+            # driver-visible train metric (it adds ~2 min/point)
+            [sys.executable, "bench.py", "--no-train-metric", *flags],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=Path(__file__).resolve().parent.parent)
         lines = []
