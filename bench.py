@@ -359,6 +359,11 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         # by the calibrated ESS budgets or the top-k head compaction
         "budget_tail": round(float(jnp.max(out["budget_tail"])), 6),
         "head_tail": round(float(jnp.max(out["head_tail"])), 6),
+        # calibrated operating point (what calibrate_budgets actually chose)
+        "budgets": [rcfg.max_segments, rcfg.max_subsegments,
+                    rcfg.max_subsegments_light, rcfg.term_first,
+                    round(rcfg.term_fraction, 3), rcfg.head_term_first,
+                    round(rcfg.head_term_fraction, 3)],
     }
     if train_metric:
         # free the 192^3 render tables before building the train model
@@ -388,7 +393,9 @@ if __name__ == "__main__":
         pack_arg = 1
         if "--pack" in sys.argv:
             pack_arg = int(sys.argv[sys.argv.index("--pack") + 1])
-        group_arg = 1
+        # group4 amortizes the ~1.2 ms remote-dispatch cost (neutral-positive
+        # on chip, r4 sweep); production default since round 4
+        group_arg = 4
         if "--group" in sys.argv:
             group_arg = int(sys.argv[sys.argv.index("--group") + 1])
         sub_arg = 8
@@ -403,9 +410,13 @@ if __name__ == "__main__":
         te_arg = 0.0
         if "--tail-eps" in sys.argv:
             te_arg = float(sys.argv[sys.argv.index("--tail-eps") + 1])
+        # round-4 adopted defaults (PERFORMANCE.md "Round-4 on-chip A/B"):
+        # two-phase termination ON (+8.6%), grouped dispatch 4, head_term
+        # calibration ON (fires only where the probe proves >=15% head
+        # saving — a no-op on the analytic field, active on trained fields)
         main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg,
-             termination="--term" in sys.argv, group=group_arg,
+             termination="--no-term" not in sys.argv, group=group_arg,
              sub_stride=sub_arg, coarse_stride=cs_arg, ckpt=ckpt_arg,
              tail_eps=te_arg,
              train_metric="--no-train-metric" not in sys.argv,
-             head_term="--hterm" in sys.argv)
+             head_term="--no-hterm" not in sys.argv)

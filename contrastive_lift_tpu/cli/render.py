@@ -34,10 +34,13 @@ def main(argv=None):
     parser.add_argument("--n_data_shards", type=int, default=None,
                         help="devices for sharded rendering (0=all; default: "
                         "the run config's n_data_shards)")
-    parser.add_argument("--term", action="store_true",
+    parser.add_argument("--term", action="store_true", default=True,
                         help="two-phase early-termination fine evaluation "
                         "(TPU perf knob, RenderConfig.term_first; budgets "
-                        "stay scene-calibrated and guarded by budget_tail)")
+                        "stay scene-calibrated and guarded by budget_tail). "
+                        "DEFAULT ON since round 4 (+8.6% on-chip A/B, "
+                        "PERFORMANCE.md); --no-term disables")
+    parser.add_argument("--no-term", dest="term", action="store_false")
     args = parser.parse_args(argv)
 
     ckpt = Path(args.ckpt_path)

@@ -104,7 +104,7 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   chunk: int = 8192, progress: bool = False,
                   use_fused: bool = True, mesh=None, data_axis: str = "data",
                   auto_budget: bool = True, bake_heads: bool = False,
-                  termination: bool = False, head_term: bool = False,
+                  termination: bool = True, head_term: bool = True,
                   dispatch_group: int = 4):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
@@ -263,8 +263,8 @@ def render_checkpoint_outputs(
         segmentwise: bool = False, use_silverman: bool = False,
         cluster_size: int = 500, cached_centroids_path=None,
         chunk: int = 8192, save_visualizations: bool = True,
-        mesh=None, termination: bool = False,
-        head_term: bool = False) -> dict:
+        mesh=None, termination: bool = True,
+        head_term: bool = True) -> dict:
     """Full inference: render + cluster + write artifacts. Returns summary."""
     output_dir = Path(output_dir)
     for sub in ("vis_semantics_and_surrogate", "pred_semantics", "pred_surrogateid"):

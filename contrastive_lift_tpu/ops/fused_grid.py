@@ -360,7 +360,8 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
                       tight_pads: Tuple[int, int] = (3, 3),
                       feat_raw_thres: Optional[float] = None,
                       occ_bits_thres: Optional[float] = None,
-                      feature_cells_per_row: int = 1) -> FusedGrids:
+                      feature_cells_per_row: int = 1,
+                      multibranch: Tuple[str, ...] = ()) -> FusedGrids:
     """Densify every grid branch present (density always; appearance/semantic/
     instance/feature when they are VM branches rather than xyz-MLPs).
 
@@ -373,19 +374,38 @@ def build_fused_grids(params: dict, mcfg, feature_dtype=jnp.float32,
 
     ``dense_override`` substitutes an arbitrary pre-activation density grid
     for the VM-densified one (benchmarks / tests with analytic fields).
+
+    ``multibranch`` fuses the listed branches (all must be VM branches) into
+    ONE corner table keyed "a+b": their projected grids are concatenated
+    along the feature axis BEFORE corner-row construction, so one row gather
+    serves every member branch at a sample. The v5e gather cost is dominated
+    by per-row issue (PERFORMANCE.md round-4 microbench: separate
+    197k@256 + 2x98k@256 lanes = 5.08 ms vs appearance + fused sem/ins
+    512-lane rows = 4.28 ms at the same row count), so co-sampled branches —
+    semantic+instance always evaluate at the SAME top-k2 points — fuse with
+    zero wasted bandwidth. Member branches get no individual tables;
+    sample the combo key with out_dim = sum of member dims and slice.
     """
     dense = (build_dense_density(params) if dense_override is None
              else dense_override)
     grid_dim = dense.shape
     features = {}
     feature_cells = {}
+    mb = tuple(n for n in multibranch if n in params)
+    if len(mb) < 2:
+        mb = ()
     for name in ("appearance", "semantic", "instance", "feature"):
-        if name in params:
+        if name in params and name not in mb:
             grid = build_dense_feature(params, name, feature_dtype)
             if name in corner_features:
                 feature_cells[name] = _cell_corner_feature(grid, grid_dim)
             else:
                 features[name] = grid
+    if mb:
+        combo = jnp.concatenate(
+            [build_dense_feature(params, n, feature_dtype) for n in mb],
+            axis=-1)
+        feature_cells["+".join(mb)] = _cell_corner_feature(combo, grid_dim)
     coarse_occ, coarse_dim, occ_tight = (None, None, None)
     occ_group, occ_group_tight = (None, None)
     occ_bits, occ_bits_tight = (None, None)
@@ -589,6 +609,11 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
     is a 4-byte scalar.
     """
     corner = ("appearance",) if "appearance" in params else ()
+    # grid-variant models (semantic/instance as VM branches rather than
+    # xyz-MLPs): fuse the two co-sampled branches into one corner table
+    # (see build_fused_grids multibranch)
+    mb = (("semantic", "instance")
+          if "semantic" in params and "instance" in params else ())
     dtype_name = jnp.dtype(feature_dtype).name
     has_dense = dense_override is not None
     # minimal conservative tight-occupancy window for the ACTUAL step
@@ -599,7 +624,8 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
                               float(jnp.min(state_r.units)))
     if not compact:
         return _cached_builder(mcfg, corner, dtype_name, None, None,
-                               has_dense, pads)(params, dense_override)
+                               has_dense, pads,
+                               multibranch=mb)(params, dense_override)
     thres = raw_occupancy_threshold(
         mcfg.splus_density_shift, float(state_r.step_size),
         rcfg.distance_scale, rcfg.occ_alpha_thres)
@@ -614,7 +640,8 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
     cap = compact_capacity_bucket(n_feat)
     return _cached_builder(mcfg, corner, dtype_name, cap, thres,
                            has_dense, pads, feat_thres,
-                           feature_cells_per_row)(params, dense_override)
+                           feature_cells_per_row,
+                           multibranch=mb)(params, dense_override)
 
 
 @functools.lru_cache(maxsize=16)
@@ -635,7 +662,7 @@ def _cached_counter(thres: float, has_dense: bool = False,
 @functools.lru_cache(maxsize=16)
 def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False,
                     tight_pads=(3, 3), feat_raw_thres=None,
-                    feature_cells_per_row=1):
+                    feature_cells_per_row=1, multibranch=()):
     # thres keys the cache, so the baked occupancy bits can never be reused
     # with a different alpha test (same contract as the compact slot tables)
     return jax.jit(lambda p, dense_override: build_fused_grids(
@@ -644,7 +671,8 @@ def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False,
         dense_override=dense_override if has_dense else None,
         with_atlas=True, with_occ_groups=True, tight_pads=tight_pads,
         feat_raw_thres=feat_raw_thres, occ_bits_thres=thres,
-        feature_cells_per_row=feature_cells_per_row))
+        feature_cells_per_row=feature_cells_per_row,
+        multibranch=multibranch))
 
 
 def build_density_only(params: dict, with_atlas: bool = False,

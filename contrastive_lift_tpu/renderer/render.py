@@ -755,7 +755,11 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
                 cost = kA + frac * (k - kA)
                 if best_h is None or cost < best_h[0]:
                     best_h = (cost, kA, frac)
-            if best_h is not None and best_h[0] < k:
+            # fire only on a REAL expected win: a marginal split still pays
+            # the two-pass gather/MLP launch overhead (measured −0.6% when
+            # frac ≈ 1 on the analytic bench field), so require ≥15%
+            # expected head-sample saving before adopting
+            if best_h is not None and best_h[0] < 0.85 * k:
                 out = replace(out, head_term_first=best_h[1],
                               head_term_fraction=best_h[2])
     # head_topk is deliberately NOT calibrated from above-threshold sample
@@ -786,6 +790,46 @@ def _branch_feats(params, mcfg, fused: Optional[FusedGrids], name: str, flat):
         dim = 96 if name == "feature" else getattr(mcfg, _BRANCH_DIMS[name])
         return sample_feature_fused(fused, name, flat, out_dim=dim)
     return None
+
+
+_SEMINS_KEY = "semantic+instance"
+
+
+def _semins_feats(params, mcfg, fused, flat):
+    """Semantic + instance grid features with ONE row gather when the fused
+    multibranch corner table is present (build_fused_grids ``multibranch``:
+    the two branches always evaluate at the same top-k2 samples, so their
+    projected grids concatenate into one 512-lane corner row with zero
+    wasted bandwidth — PERFORMANCE.md round-4 gather microbench, 16% fewer
+    head-gather ms than separate 256-lane tables). Falls back to per-branch
+    fetch (table / dense grid / direct VM) otherwise."""
+    if fused is not None and (_SEMINS_KEY in fused.compact_feature_cells
+                              or _SEMINS_KEY in fused.feature_cells):
+        ds = mcfg.dim_semantics
+        both = sample_feature_fused(fused, _SEMINS_KEY, flat,
+                                    out_dim=ds + mcfg.dim_instances)
+        return both[:, :ds], both[:, ds:]
+    return (_branch_feats(params, mcfg, fused, "semantic", flat),
+            _branch_feats(params, mcfg, fused, "instance", flat))
+
+
+def _semins_feats_dedup(params, mcfg, fused, flat, dedup, k_lim):
+    """_semins_feats through the unique-cell dedup gather when active."""
+    if dedup is not None and fused is not None and (
+            _SEMINS_KEY in fused.compact_feature_cells
+            or _SEMINS_KEY in fused.feature_cells):
+        uid, slot_k, xyz_k = dedup
+        ds = mcfg.dim_semantics
+        both = sample_feature_dedup(fused, _SEMINS_KEY, uid,
+                                    slot_k[:, :k_lim], xyz_k[:, :k_lim],
+                                    ds + mcfg.dim_instances)
+        return both[:, :ds], both[:, ds:]
+    if dedup is None:
+        return _semins_feats(params, mcfg, fused, flat)
+    return (_branch_feats_dedup(params, mcfg, fused, "semantic", flat,
+                                dedup, k_lim),
+            _branch_feats_dedup(params, mcfg, fused, "instance", flat,
+                                dedup, k_lim))
 
 
 def _branch_feats_dedup(params, mcfg, fused, name, flat, dedup, k_lim):
@@ -876,12 +920,11 @@ def _heads_two_phase(params, mcfg, rcfg: RenderConfig, fused, rays, xyz_k,
             dfh = dist_s.reshape(Rn * Ks, -1)
             if rcfg.feature_stop_grad:
                 dfh = jax.lax.stop_gradient(dfh)
-        sem = tf.render_semantics(
-            params, mcfg, flat_s, dfh, compute_dtype,
-            feats=_branch_feats(params, mcfg, fused, "semantic", flat_s))
-        ins = tf.render_instances(
-            params, mcfg, flat_s, dfh, compute_dtype,
-            feats=_branch_feats(params, mcfg, fused, "instance", flat_s))
+        f_sem, f_ins = _semins_feats(params, mcfg, fused, flat_s)
+        sem = tf.render_semantics(params, mcfg, flat_s, dfh, compute_dtype,
+                                  feats=f_sem)
+        ins = tf.render_instances(params, mcfg, flat_s, dfh, compute_dtype,
+                                  feats=f_ins)
         sem = jnp.where(mf, sem, 0.0).reshape(Rn, Ks, -1)
         ins = jnp.where(mf, ins, 0.0).reshape(Rn, Ks, -1)
         return sem, ins
@@ -1048,14 +1091,12 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
             semantics = jax.nn.softmax(semantics, axis=-1)
         instances = bk[:, C:]
     else:
-        semantics = tf.render_semantics(
-            params, mcfg, flat2, dfh2, compute_dtype,
-            feats=_branch_feats_dedup(params, mcfg, fused, "semantic", flat2,
-                                      dedup, k2))
-        instances = tf.render_instances(
-            params, mcfg, flat2, dfh2, compute_dtype,
-            feats=_branch_feats_dedup(params, mcfg, fused, "instance", flat2,
-                                      dedup, k2))
+        f_sem, f_ins = _semins_feats_dedup(params, mcfg, fused, flat2,
+                                           dedup, k2)
+        semantics = tf.render_semantics(params, mcfg, flat2, dfh2,
+                                        compute_dtype, feats=f_sem)
+        instances = tf.render_instances(params, mcfg, flat2, dfh2,
+                                        compute_dtype, feats=f_ins)
     semantics = jnp.where(mask_flat2, semantics, 0.0).reshape(R, k2, -1)
     instances = jnp.where(mask_flat2, instances, 0.0).reshape(R, k2, -1)
 

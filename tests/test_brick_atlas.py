@@ -548,3 +548,91 @@ def test_tight_feature_compaction_brick_boundary_edge():
     assert float(jnp.max(out_f["opacity"])) > 0.5  # the plane is actually hit
     np.testing.assert_allclose(np.asarray(out_t["rgb"]),
                                np.asarray(out_f["rgb"]), atol=1e-5)
+
+
+def _grid_variant_model(grid=33, classes=7):
+    """Grid-variant config: semantic/instance as VM branches (all_grid.yaml),
+    the configuration the fused multibranch corner table serves."""
+    cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
+                 instance_loss_mode="slow_fast", use_DINO_style=True,
+                 use_mlp_for_semantics=False, use_mlp_for_instances=False,
+                 seed=0).resolve_epochs()
+    return build_model(cfg, classes, step_ratio=0.25)
+
+
+def test_multibranch_semins_table_built_and_exact():
+    """build_render_grids fuses semantic+instance into ONE corner table for
+    grid-variant models (one row gather serves both co-sampled branches —
+    PERFORMANCE.md round-4 gather microbench); sampling it must reproduce
+    the separate dense-grid trilinear interpolation exactly (same bf16
+    source values, f32 accumulation)."""
+    mcfg, params, rcfg, state_r = _grid_variant_model()
+    rcfg = dataclasses.replace(rcfg, coarse_stride=8, max_segments=12)
+    fused = fg.build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                                  feature_dtype=jnp.bfloat16)
+    assert "semantic+instance" in fused.compact_feature_cells
+    assert "semantic" not in fused.compact_feature_cells
+    assert "instance" not in fused.features
+
+    # reference path: per-branch dense grids (8-gather trilinear), same bf16
+    plain = fg.build_fused_grids(params, mcfg, feature_dtype=jnp.bfloat16,
+                                 with_occupancy=True)
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray(rng.uniform(-0.95, 0.95, (4096, 3)), jnp.float32)
+    ds, di = mcfg.dim_semantics, mcfg.dim_instances
+    both = fg.sample_feature_fused(fused, "semantic+instance", xyz,
+                                   out_dim=ds + di)
+    sem_ref = fg.sample_feature_fused(plain, "semantic", xyz, out_dim=ds)
+    ins_ref = fg.sample_feature_fused(plain, "instance", xyz, out_dim=di)
+    # compacted table zeroes cells in unoccupied bricks — compare only
+    # samples whose brick is occupied (sentinel-slot rows are zero)
+    i, _ = fg._cell_coords(fused.grid_dim, xyz)
+    pos = fg._compact_row_index(fused, i)
+    live = np.asarray(pos >= fused.supervoxel ** 3)
+    np.testing.assert_allclose(np.asarray(both[live, :ds]),
+                               np.asarray(sem_ref[live]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(both[live, ds:]),
+                               np.asarray(ins_ref[live]), atol=1e-4)
+
+
+def test_multibranch_render_matches_separate():
+    """Full render through the fused sem+ins corner table == render through
+    per-branch dense grids (head feature path is the only difference)."""
+    mcfg, params, rcfg, state_r = _grid_variant_model()
+    rcfg = dataclasses.replace(rcfg, coarse_stride=8, sub_stride=4,
+                               max_segments=12, max_subsegments=24,
+                               head_topk=16)
+    rng = np.random.default_rng(5)
+    o = rng.uniform(-0.1, 0.1, (64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((64, 1), 0.01, np.float32),
+                           np.full((64, 1), 1.5, np.float32)], axis=-1)
+    fused = fg.build_render_grids(params, mcfg, rcfg, state_r, compact=True,
+                                  feature_dtype=jnp.bfloat16)
+    rcfg = R.occ_grouping_for(rcfg, state_r)
+    out_mb = R.render_rays(params, mcfg, rcfg, state_r, rays, None, False,
+                           fused=fused)
+    # separate-branch reference: same occupancy/atlas structure, no combo
+    thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                       float(state_r.step_size),
+                                       rcfg.distance_scale,
+                                       rcfg.occ_alpha_thres)
+    feat_thres = fg.raw_occupancy_threshold(mcfg.splus_density_shift,
+                                            float(state_r.step_size),
+                                            rcfg.distance_scale,
+                                            rcfg.raymarch_weight_thres)
+    cap = fused.compact_feature_cells["semantic+instance"].shape[0] \
+        // fused.supervoxel ** 3 - 1
+    sep = fg.build_fused_grids(
+        params, mcfg, feature_dtype=jnp.bfloat16,
+        corner_features=("appearance",), with_occupancy=True,
+        compact_capacity=cap, occ_raw_thres=thres, with_atlas=True,
+        with_occ_groups=True, occ_bits_thres=thres,
+        feat_raw_thres=feat_thres)
+    out_sep = R.render_rays(params, mcfg, rcfg, state_r, rays, None, False,
+                            fused=sep)
+    for k in ("rgb", "semantics", "instances", "depth", "opacity"):
+        np.testing.assert_allclose(np.asarray(out_mb[k]),
+                                   np.asarray(out_sep[k]),
+                                   rtol=1e-4, atol=2e-4, err_msg=k)

@@ -28,27 +28,17 @@ import sys
 import time
 from pathlib import Path
 
+# NOTE: since round 4 bench.py DEFAULTS to term + hterm + group4
+# (PERFORMANCE.md round-4 adjudication) — points are spelled explicitly
 POINTS = [
-    ("baseline", []),
-    ("group4", ["--group", "4"]),
-    ("group8", ["--group", "8"]),
-    ("term", ["--term"]),
-    ("term+group4", ["--term", "--group", "4"]),
-    ("no-l1", ["--no-l1"]),
-    ("no-l1+term+group4", ["--no-l1", "--term", "--group", "4"]),
-    ("pack2", ["--pack", "2"]),
-    ("pack4", ["--pack", "4"]),
-    ("cs16sub4", ["--cs", "16", "--sub", "4"]),
-    ("cs16sub4+term+group4", ["--cs", "16", "--sub", "4", "--term",
-                              "--group", "4"]),
+    ("baseline-r3", ["--no-term", "--no-hterm", "--group", "1"]),
+    ("default", []),                       # = term + hterm-auto + group4
+    ("term-only", ["--no-hterm"]),
+    ("no-l1+default", ["--no-l1"]),
+    ("pack2", ["--pack", "2", "--no-term", "--no-hterm", "--group", "1"]),
+    ("cs16sub4+default", ["--cs", "16", "--sub", "4"]),
     ("chunk4096+group8", ["--chunk", "4096", "--group", "8"]),
-    ("chunk16384+group4", ["--chunk", "16384", "--group", "4"]),
-    # round-4 two-phase head evaluation (RenderConfig.head_term_first)
-    ("hterm", ["--hterm"]),
-    ("term+hterm", ["--term", "--hterm"]),
-    ("term+hterm+group4", ["--term", "--hterm", "--group", "4"]),
-    ("no-l1+term+hterm+group4", ["--no-l1", "--term", "--hterm",
-                                 "--group", "4"]),
+    ("chunk16384", ["--chunk", "16384"]),
     # train-side phases (one record per bench JSON line): decides
     # fused_main_density adoption and re-pins the r3 steps/s table
     ("train", ["--train"]),

@@ -44,8 +44,14 @@ def main():
     Pk = args.rays * args.k
     Pk2 = args.rays * args.k2
 
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 16))
+
     def table(lanes):
-        return jnp.asarray(rng.normal(size=(rows, lanes)), jnp.bfloat16)
+        # built ON DEVICE — host->device transfer of GB tables over the
+        # remote tunnel takes minutes and isn't what we're measuring
+        return jax.block_until_ready(jax.jit(
+            lambda k: jax.random.normal(k, (rows, lanes), jnp.bfloat16),
+        )(next(keys)))
 
     # indices share the per-ray locality structure of real renders loosely
     # (uniform random is the WORST case the rate model was built on)
@@ -84,17 +90,18 @@ def main():
 
     # A: status quo — three separate gathers in one jit (as the render does)
     res["A_threeway_ms"] = t(jax.jit(
-        lambda a, b, c, i1, i2: reduce_rows(a, i1) + 0.0 * jnp.sum(
-            reduce_rows(b, i2)) + 0.0 * jnp.sum(reduce_rows(c, i2))),
+        lambda a, b, c, i1, i2: jnp.sum(reduce_rows(a, i1))
+        + jnp.sum(reduce_rows(b, i2)) + jnp.sum(reduce_rows(c, i2))),
         t256a, t256b, t256c, ik, ik2)
 
     # B: appearance separate + sem/ins fused 512-lane row
     res["B_semins_fused_ms"] = t(jax.jit(
-        lambda a, f, i1, i2: reduce_rows(a, i1) + 0.0 * jnp.sum(
-            reduce_rows(f, i2))), t256a, t512, ik, ik2)
+        lambda a, f, i1, i2: jnp.sum(reduce_rows(a, i1))
+        + jnp.sum(reduce_rows(f, i2))), t256a, t512, ik, ik2)
 
     # C: all three in one 768-lane row at the k issue count
-    res["C_all_fused_ms"] = t(jax.jit(reduce_rows), t768, ik)
+    res["C_all_fused_ms"] = t(jax.jit(
+        lambda f, i1: jnp.sum(reduce_rows(f, i1))), t768, ik)
 
     print(json.dumps(res))
 
