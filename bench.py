@@ -113,6 +113,10 @@ def bench_train():
          {"fused_main_density": True}),
         ("main+instance", TrainGates(semantics_on=True, instances_on=True), {}),
         ("main+instance+segment", all_gates, {}),
+        # segment-phase remat chunk A/B: 4096 is the 16 GB-safe default
+        # (three [chunk*S,256] backward activations); 8192 halves the
+        # lax.map trip count if it fits
+        ("all+chunkseg8192", all_gates, {"chunk_segment": 8192}),
         # dense-parity mode: exact reference sampling for the aux passes
         ("all+ess_off", all_gates, {"ess_train_stride": 0}),
         # train-time top-k head compaction at k=64 — representative of what
@@ -413,8 +417,11 @@ if __name__ == "__main__":
         # round-4 adopted defaults (PERFORMANCE.md "Round-4 on-chip A/B"):
         # two-phase termination ON (+8.6%), grouped dispatch 4, head_term
         # calibration ON (fires only where the probe proves >=15% head
-        # saving — a no-op on the analytic field, active on trained fields)
-        main(chunk_arg, use_l1="--no-l1" not in sys.argv, pack=pack_arg,
+        # saving — a no-op on the analytic field, active on trained fields),
+        # L2-only selection ON (--l1 restores the segment cascade; the flat
+        # grouped-bit test is both faster — 479.9k vs 466.4k in the r4
+        # sweep — and strictly more accurate: no segment-budget truncation)
+        main(chunk_arg, use_l1="--l1" in sys.argv, pack=pack_arg,
              termination="--no-term" not in sys.argv, group=group_arg,
              sub_stride=sub_arg, coarse_stride=cs_arg, ckpt=ckpt_arg,
              tail_eps=te_arg,

@@ -41,6 +41,11 @@ def main(argv=None):
                         "DEFAULT ON since round 4 (+8.6% on-chip A/B, "
                         "PERFORMANCE.md); --no-term disables")
     parser.add_argument("--no-term", dest="term", action="store_false")
+    parser.add_argument("--l1", dest="l2_only", action="store_false",
+                        default=True,
+                        help="restore the L1 segment cascade (default: "
+                        "L2-only flat grouped-bit selection — faster and "
+                        "strictly more accurate, PERFORMANCE.md round 4)")
     args = parser.parse_args(argv)
 
     ckpt = Path(args.ckpt_path)
@@ -72,7 +77,7 @@ def main(argv=None):
         segmentwise=args.segmentwise, use_silverman=args.use_silverman,
         cluster_size=args.cluster_size,
         cached_centroids_path=args.cached_centroids_path, chunk=args.chunk,
-        mesh=mesh, termination=args.term)
+        mesh=mesh, termination=args.term, l2_only=args.l2_only)
     print(json.dumps(summary, indent=2))
 
 

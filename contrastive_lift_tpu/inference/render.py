@@ -10,6 +10,7 @@ and visualization grids — byte-compatible artifact layout.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import pickle
 import time
@@ -105,7 +106,7 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   use_fused: bool = True, mesh=None, data_axis: str = "data",
                   auto_budget: bool = True, bake_heads: bool = False,
                   termination: bool = True, head_term: bool = True,
-                  dispatch_group: int = 4):
+                  dispatch_group: int = 4, l2_only: bool = True):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
     Builds the fused dense grids once (parameters are fixed at inference) so
@@ -120,6 +121,14 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     (single-chip path only) — identical numerics, fewer host round trips.
     """
     fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
+    if (l2_only and fused is not None and rcfg.sub_stride is not None
+            and fused.coarse_occ_tight is not None):
+        # L2-only selection (production default since round 4): the flat
+        # grouped-bit sub-segment test drops the L1 gather + top_k + glue
+        # and cannot truncate at the segment budget — faster AND strictly
+        # more accurate than the cascade (PERFORMANCE.md r4 sweep:
+        # 479.9k vs 466.4k rays/s at otherwise-identical defaults)
+        rcfg = dataclasses.replace(rcfg, use_l1=False)
     if fused is not None and (fused.occ_group is not None
                               or fused.occ_bits_group is not None):
         rcfg = R.occ_grouping_for(rcfg, state_r)
@@ -264,7 +273,7 @@ def render_checkpoint_outputs(
         cluster_size: int = 500, cached_centroids_path=None,
         chunk: int = 8192, save_visualizations: bool = True,
         mesh=None, termination: bool = True,
-        head_term: bool = True) -> dict:
+        head_term: bool = True, l2_only: bool = True) -> dict:
     """Full inference: render + cluster + write artifacts. Returns summary."""
     output_dir = Path(output_dir)
     for sub in ("vis_semantics_and_surrogate", "pred_semantics", "pred_surrogateid"):
@@ -274,7 +283,8 @@ def render_checkpoint_outputs(
     t_render0 = time.time()
     per_frame = render_frames(params, mcfg, rcfg, state_r, frames, chunk,
                               mesh=mesh, data_axis=cfg.data_axis,
-                              termination=termination, head_term=head_term)
+                              termination=termination, head_term=head_term,
+                              l2_only=l2_only)
     t_render = time.time() - t_render0
 
     all_sem = [f["semantics"] for f in per_frame]

@@ -84,7 +84,16 @@ class Trainer:
         self._render_fn = None
         self._preserve_opt_once = False  # set by restore(); survives one rebuild
         from ..utils.logger import make_logger, snapshot_source
-        from ..utils.observability import print_model_summary
+        from ..utils.observability import (install_signal_handlers,
+                                           print_model_summary)
+        try:
+            # SIGUSR1 stack dump / SIGUSR2 graceful exit (reference
+            # trainer/__init__.py:27-45). Without a handler SIGUSR1's
+            # DEFAULT action terminates the process — install at trainer
+            # construction so long runs are probe-able.
+            install_signal_handlers()
+        except ValueError:  # pragma: no cover — non-main thread
+            pass
         snapshot_source(self.run_dir)  # code + config snapshot (reproducibility)
         self.logger = make_logger(cfg.logger, self.run_dir)
         print_model_summary(params)

@@ -28,14 +28,15 @@ import sys
 import time
 from pathlib import Path
 
-# NOTE: since round 4 bench.py DEFAULTS to term + hterm + group4
+# NOTE: since round 4 bench.py DEFAULTS to no-l1 + term + hterm + group4
 # (PERFORMANCE.md round-4 adjudication) — points are spelled explicitly
 POINTS = [
-    ("baseline-r3", ["--no-term", "--no-hterm", "--group", "1"]),
-    ("default", []),                       # = term + hterm-auto + group4
+    ("baseline-r3", ["--l1", "--no-term", "--no-hterm", "--group", "1"]),
+    ("default", []),               # = no-l1 + term + hterm-auto + group4
     ("term-only", ["--no-hterm"]),
-    ("no-l1+default", ["--no-l1"]),
-    ("pack2", ["--pack", "2", "--no-term", "--no-hterm", "--group", "1"]),
+    ("l1+default", ["--l1"]),
+    ("pack2", ["--pack", "2", "--l1", "--no-term", "--no-hterm",
+               "--group", "1"]),
     ("cs16sub4+default", ["--cs", "16", "--sub", "4"]),
     ("chunk4096+group8", ["--chunk", "4096", "--group", "8"]),
     ("chunk16384", ["--chunk", "16384"]),
