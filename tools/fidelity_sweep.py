@@ -21,6 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
+    from contrastive_lift_tpu.utils.platform import honor_platform_env
+    honor_platform_env()  # JAX_PLATFORMS=cpu must beat the axon default
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--probe", type=int, default=2048)

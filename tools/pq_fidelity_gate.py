@@ -137,6 +137,8 @@ def run_gate(params, mcfg, rcfg, state_r, scene, max_instances: int,
 
 
 def main():
+    from contrastive_lift_tpu.utils.platform import honor_platform_env
+    honor_platform_env()  # JAX_PLATFORMS=cpu must beat the axon default
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", default=None,

@@ -64,6 +64,8 @@ def _time(fn, sync, iters):
 
 
 def main():
+    from contrastive_lift_tpu.utils.platform import honor_platform_env
+    honor_platform_env()  # JAX_PLATFORMS=cpu must beat the axon default
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()

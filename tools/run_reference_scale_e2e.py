@@ -31,6 +31,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
+    from contrastive_lift_tpu.utils.platform import honor_platform_env
+    honor_platform_env()  # JAX_PLATFORMS=cpu must beat the axon default
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--out", type=str, default=None)
