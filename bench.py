@@ -106,11 +106,12 @@ def bench_train():
     phases = [
         # default config: train-time ESS for the stop-grad passes
         # (Config.ess_train_stride=8 — bounded-drift, conservative occupancy)
+        # default since round 4 = fused_main_density ON (adopted: 2.283 ->
+        # 3.462 steps/s on-chip; Config.fused_main_density)
         ("main", TrainGates(semantics_on=True), {}),
-        # lever B A/B: differentiable densified main-phase density
-        # (Config.fused_main_density — adoption decided by this number)
-        ("main+fusedmain", TrainGates(semantics_on=True),
-         {"fused_main_density": True}),
+        # inverse A/B: direct 18-gather VM sampling (pre-r4 default)
+        ("main+directvm", TrainGates(semantics_on=True),
+         {"fused_main_density": False}),
         ("main+instance", TrainGates(semantics_on=True, instances_on=True), {}),
         ("main+instance+segment", all_gates, {}),
         # segment-phase remat chunk A/B: 4096 is the 16 GB-safe default

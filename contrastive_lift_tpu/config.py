@@ -135,10 +135,12 @@ class Config:
     # features) gradients flow through the densify einsums + one cell-corner
     # gather per sample instead of 18 small-table VM gathers; the backward
     # is a scatter-add into the dense grid + matmul transposes. Exact (same
-    # function, same gradients — tested); whether it is FASTER depends on
-    # the TPU scatter-add rate (tools/microbench_train_main.py) — off until
-    # measured.
-    fused_main_density: bool = False
+    # function, same gradients — tested:
+    # test_fused_main_density_gradients_match_direct). ADOPTED as the
+    # default in round 4: on-chip A/B at the reference operating point
+    # (bench.py --train, 128^3, 2048 rays) measured 2.283 -> 3.462 main-
+    # phase steps/s (+52%, PERFORMANCE.md round-4 train adjudication).
+    fused_main_density: bool = True
     # two-level empty-space skipping at inference (renderer/render.py): test
     # coarse stride-sample segments against the occupancy upper bound and
     # evaluate density only in the nearest max_segments occupied ones.
