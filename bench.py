@@ -220,10 +220,18 @@ def _train_full_step_rate():
     return round(1.0 / dt, 3), round(dt, 4)
 
 
-def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
-         termination: bool = False, group: int = 1, sub_stride: int = 8,
-         coarse_stride: int = 16, ckpt: str = None, tail_eps: float = 0.0,
-         train_metric: bool = True, head_term: bool = False):
+# the committed reference-scale e2e checkpoint (tools/run_reference_scale_e2e
+# on chip, round 4); when present the driver line also records the
+# trained-field render rate so the recorded bench covers BOTH operating
+# regimes (VERDICT r3 #3: analytic-shell occupancy must not flatter ESS)
+DEFAULT_TRAINED_CKPT = "artifacts/e2e_r4_tpu/checkpoints/final.npz"
+
+
+def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
+                    termination: bool = False, group: int = 1,
+                    sub_stride: int = 8, coarse_stride: int = 16,
+                    ckpt: str = None, tail_eps: float = 0.0,
+                    head_term: bool = False) -> dict:
     import os
 
     import jax
@@ -370,11 +378,39 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     round(rcfg.term_fraction, 3), rcfg.head_term_first,
                     round(rcfg.head_term_fraction, 3)],
     }
-    if train_metric:
-        # free the 192^3 render tables before building the train model
-        del out, fused, params
-        import gc
+    return result
+
+
+def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
+         termination: bool = False, group: int = 1, sub_stride: int = 8,
+         coarse_stride: int = 16, ckpt: str = None, tail_eps: float = 0.0,
+         train_metric: bool = True, head_term: bool = False,
+         trained_metric: bool = True):
+    import gc
+    import os
+
+    result = _measure_render(chunk, use_l1, pack, termination, group,
+                             sub_stride, coarse_stride, ckpt, tail_eps,
+                             head_term)
+    gc.collect()  # the 192^3 render tables are locals of _measure_render
+    if (trained_metric and ckpt is None
+            and os.path.exists(DEFAULT_TRAINED_CKPT)):
+        # second operating regime in the SAME driver line: the committed
+        # reference-scale trained field (real optimization statistics —
+        # sharper surfaces, deeper calibrated budgets; measured FASTER than
+        # the analytic shells, so the headline number is the conservative one)
+        try:
+            tr = _measure_render(chunk, use_l1, pack, termination, group,
+                                 sub_stride, coarse_stride,
+                                 DEFAULT_TRAINED_CKPT, tail_eps, head_term)
+            result["trained_field_rays_per_sec"] = tr["value"]
+            result["trained_vs_baseline"] = tr["vs_baseline"]
+            result["trained_budget_tail"] = tr["budget_tail"]
+            result["trained_head_tail"] = tr["head_tail"]
+        except Exception as e:  # the analytic metric must still be recorded
+            result["trained_error"] = f"{type(e).__name__}: {e}"[:200]
         gc.collect()
+    if train_metric:
         try:
             tps, spt = _train_full_step_rate()
             result["train_steps_per_sec"] = tps
@@ -427,4 +463,5 @@ if __name__ == "__main__":
              sub_stride=sub_arg, coarse_stride=cs_arg, ckpt=ckpt_arg,
              tail_eps=te_arg,
              train_metric="--no-train-metric" not in sys.argv,
-             head_term="--no-hterm" not in sys.argv)
+             head_term="--no-hterm" not in sys.argv,
+             trained_metric="--no-trained-metric" not in sys.argv)

@@ -598,7 +598,8 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
                        compact: bool = True,
                        feature_dtype=jnp.bfloat16,
                        dense_override=None,
-                       feature_cells_per_row: int = 1) -> FusedGrids:
+                       feature_cells_per_row: int = 1,
+                       atlas_dtype=jnp.float32) -> FusedGrids:
     """Host-side driver for the full inference fast path: corner appearance
     rows (bf16), coarse occupancy for two-level empty-space skipping, and —
     when ``compact`` — occupancy-compacted tables sized to the scene.
@@ -615,6 +616,7 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
     mb = (("semantic", "instance")
           if "semantic" in params and "instance" in params else ())
     dtype_name = jnp.dtype(feature_dtype).name
+    atlas_dtype_name = jnp.dtype(atlas_dtype).name
     has_dense = dense_override is not None
     # minimal conservative tight-occupancy window for the ACTUAL step
     # geometry (advisor r2: validate the precondition instead of assuming it)
@@ -624,8 +626,9 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
                               float(jnp.min(state_r.units)))
     if not compact:
         return _cached_builder(mcfg, corner, dtype_name, None, None,
-                               has_dense, pads,
-                               multibranch=mb)(params, dense_override)
+                               has_dense, pads, multibranch=mb,
+                               atlas_dtype_name=atlas_dtype_name)(
+                                   params, dense_override)
     thres = raw_occupancy_threshold(
         mcfg.splus_density_shift, float(state_r.step_size),
         rcfg.distance_scale, rcfg.occ_alpha_thres)
@@ -641,7 +644,9 @@ def build_render_grids(params: dict, mcfg, rcfg, state_r,
     return _cached_builder(mcfg, corner, dtype_name, cap, thres,
                            has_dense, pads, feat_thres,
                            feature_cells_per_row,
-                           multibranch=mb)(params, dense_override)
+                           multibranch=mb,
+                           atlas_dtype_name=atlas_dtype_name)(
+                               params, dense_override)
 
 
 @functools.lru_cache(maxsize=16)
@@ -662,14 +667,16 @@ def _cached_counter(thres: float, has_dense: bool = False,
 @functools.lru_cache(maxsize=16)
 def _cached_builder(mcfg, corner, dtype_name, cap, thres, has_dense=False,
                     tight_pads=(3, 3), feat_raw_thres=None,
-                    feature_cells_per_row=1, multibranch=()):
+                    feature_cells_per_row=1, multibranch=(),
+                    atlas_dtype_name="float32"):
     # thres keys the cache, so the baked occupancy bits can never be reused
     # with a different alpha test (same contract as the compact slot tables)
     return jax.jit(lambda p, dense_override: build_fused_grids(
         p, mcfg, feature_dtype=jnp.dtype(dtype_name), corner_features=corner,
         with_occupancy=True, compact_capacity=cap, occ_raw_thres=thres,
         dense_override=dense_override if has_dense else None,
-        with_atlas=True, with_occ_groups=True, tight_pads=tight_pads,
+        with_atlas=True, atlas_dtype=jnp.dtype(atlas_dtype_name),
+        with_occ_groups=True, tight_pads=tight_pads,
         feat_raw_thres=feat_raw_thres, occ_bits_thres=thres,
         feature_cells_per_row=feature_cells_per_row,
         multibranch=multibranch))

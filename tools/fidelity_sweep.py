@@ -28,6 +28,14 @@ def main():
     ap.add_argument("--probe", type=int, default=2048)
     ap.add_argument("--ref-cache", default="/tmp/fidelity_ref.npz",
                     help="npz cache of the dense-reference probe maps")
+    ap.add_argument("--r4", action="store_true",
+                    help="round-4 adjudication subset (k2 cuts, bf16 atlas)")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="build + cache the dense fp32 reference, then exit. "
+                         "Run under JAX_PLATFORMS=cpu: the axon process "
+                         "registers no CPU backend, so the CPU-side table "
+                         "build (whose densify peak exceeds chip HBM) must "
+                         "happen in a separate CPU process writing the cache")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +84,10 @@ def main():
             [np.asarray(r["semantics"]) for r in ref_parts]).argmax(-1)
         del fused_plain, ref_parts  # free the f32 tables before the sweep
         np.savez(ref_cache, rgb=ref_rgb, op=ref_op, sem=ref_sem)
+    if args.ref_only:
+        print(json.dumps({"ref_cached": str(ref_cache),
+                          "probe": int(args.probe)}))
+        return
 
     candidates = [
         {"occ": 1e-5, "k": 24, "k2": 12},   # current production point
@@ -89,14 +101,26 @@ def main():
         {"occ": 1e-5, "k": 24, "k2": 8, "sub": 4},
         {"occ": 1e-5, "k": 24, "k2": 8},
         {"occ": 1e-5, "k": 20, "k2": 10},
+        # bf16 brick atlas: halves fine-gather bandwidth; quantizes the
+        # DENSITY table (~3 decimal digits), so alpha/compositing shift —
+        # adoption needs this row's error vs the dense fp32 reference
+        {"occ": 1e-5, "k": 24, "k2": 12, "atlas": "bfloat16"},
+        {"occ": 1e-5, "k": 24, "k2": 8, "atlas": "bfloat16"},
     ]
+    if args.r4:
+        # round-4 adjudication subset: k2 reduction (sem+ins head rows are
+        # a third of the head block each) and the bf16 atlas, vs prod
+        candidates = [candidates[0], candidates[7], candidates[8],
+                      candidates[9], candidates[10]]
     for c in candidates:
         rcfg = dataclasses.replace(rcfg0, occ_alpha_thres=c["occ"],
                                    head_topk=c["k"], head_topk_semins=c["k2"],
                                    sub_stride=c.get("sub", rcfg0.sub_stride))
         fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
                                    feature_dtype=jnp.bfloat16,
-                                   dense_override=dense)
+                                   dense_override=dense,
+                                   atlas_dtype=jnp.dtype(
+                                       c.get("atlas", "float32")))
         rcfg = R.occ_grouping_for(rcfg, state_r)
         rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused)
         fn = jax.jit(lambda p, f, r, rc=rcfg: R.render_rays(

@@ -56,22 +56,33 @@ def e2e_config(image_dim=(48, 64), max_grid=128, epochs=10):
 
 def pq_for(per_frame, onehot, scene, max_instances):
     """PQ^scene of rendered maps + clustered instances vs the synthetic GT
-    (same evaluation as tools/run_reference_scale_e2e.py)."""
+    (same evaluation as tools/run_reference_scale_e2e.py). Returns
+    (pq, sq, rq, pq_masked): the masked variant forces predictions on
+    pseudo-label-void pixels to void — the reference's validation-time
+    masking (train_panopli_tensorf.py:375). At short training budgets the
+    raw semantics plateau (raw PQ can be 0 on the synthetic fixture), so
+    the masked PQ is the variant with signal and the one the gate compares."""
     from contrastive_lift_tpu.metrics.panoptic_quality import panoptic_quality
-    preds, targets = [], []
+    preds, preds_masked, targets = [], [], []
     for i, frame in enumerate(scene.val_frames):
         sem_pred = per_frame[i]["semantics"].argmax(-1)
         inst_pred = np.asarray(onehot[i]).argmax(-1)
         m = frame.mask
         preds.append(np.stack([sem_pred[m], inst_pred[m]], -1))
+        sem_m = np.where(frame.semantics == 0, 0, sem_pred)
+        preds_masked.append(np.stack([sem_m[m], inst_pred[m]], -1))
         targets.append(np.stack([frame.gt_semantics[m],
                                  frame.gt_instances[m]], -1))
     things = scene.things_filtered or set(scene.segmentation.fg_classes)
     stuffs = scene.stuff_filtered or {0}
+    targets_cat = np.concatenate(targets)
     pq, sq, rq = panoptic_quality(
-        np.concatenate(preds), np.concatenate(targets), things, stuffs,
+        np.concatenate(preds), targets_cat, things, stuffs,
         allow_unknown_preds_category=True)
-    return float(pq), float(sq), float(rq)
+    pq_m, _, _ = panoptic_quality(
+        np.concatenate(preds_masked), targets_cat, things, stuffs,
+        allow_unknown_preds_category=True)
+    return float(pq), float(sq), float(rq), float(pq_m)
 
 
 def cluster_maps(per_frame, scene, bandwidth, max_instances):
@@ -114,17 +125,25 @@ def run_gate(params, mcfg, rcfg, state_r, scene, max_instances: int,
     oh_fast = cluster_maps(fast_frames, scene, bandwidth, max_instances)
     oh_dense = cluster_maps(dense_frames, scene, bandwidth, max_instances)
 
-    pq_f, sq_f, rq_f = pq_for(fast_frames, oh_fast, scene, max_instances)
-    pq_d, sq_d, rq_d = pq_for(dense_frames, oh_dense, scene, max_instances)
+    pq_f, sq_f, rq_f, pqm_f = pq_for(fast_frames, oh_fast, scene,
+                                     max_instances)
+    pq_d, sq_d, rq_d, pqm_d = pq_for(dense_frames, oh_dense, scene,
+                                     max_instances)
 
     rgb_f = np.concatenate([f["rgb"] for f in fast_frames])
     rgb_d = np.concatenate([f["rgb"] for f in dense_frames])
     sem_f = np.concatenate([f["semantics"] for f in fast_frames]).argmax(-1)
     sem_d = np.concatenate([f["semantics"] for f in dense_frames]).argmax(-1)
 
+    # the gate compares BOTH PQ variants: raw and the reference's
+    # validation-masked form (the one with signal at short budgets); the
+    # fast path must hold the bound on whichever carries the scene's metric
+    delta = max(abs(pq_f - pq_d), abs(pqm_f - pqm_d))
     return {
         "pq_scene_fast": round(pq_f, 4), "pq_scene_dense": round(pq_d, 4),
         "delta_pq": round(pq_f - pq_d, 4),
+        "pq_masked_fast": round(pqm_f, 4), "pq_masked_dense": round(pqm_d, 4),
+        "delta_pq_masked": round(pqm_f - pqm_d, 4),
         "sq_fast": round(sq_f, 4), "sq_dense": round(sq_d, 4),
         "rq_fast": round(rq_f, 4), "rq_dense": round(rq_d, 4),
         "rgb_p99_err": round(float(np.quantile(np.abs(rgb_f - rgb_d), 0.99)), 6),
@@ -132,7 +151,7 @@ def run_gate(params, mcfg, rcfg, state_r, scene, max_instances: int,
         "render_seconds_fast": round(t_fast, 1),
         "render_seconds_dense": round(t_dense, 1),
         "gate": gate,
-        "pass": bool(abs(pq_f - pq_d) <= gate),
+        "pass": bool(delta <= gate),
     }
 
 

@@ -68,7 +68,14 @@ def main():
     honor_platform_env()  # JAX_PLATFORMS=cpu must beat the axon default
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", default=None,
+                    help="substring filter: run only stages whose name "
+                         "contains this (each stage pays a remote compile, "
+                         "so full sweeps exceed short timeouts)")
     args = ap.parse_args()
+
+    def want(name):
+        return args.only is None or args.only in name
 
     import jax
     import jax.numpy as jnp
@@ -84,9 +91,22 @@ def main():
     grouped = R.occ_grouping_for(rcfg0, state_r)
     cal = R.calibrate_budgets(mcfg, grouped, state_r, rays, fused)
     ungrouped = dataclasses.replace(cal, occ_group_l1=0, occ_group_l2=False)
+    # the round-4 production point (bench.py defaults): L2-only flat
+    # selection + two-phase termination + calibrated head_term
+    prod = R.occ_grouping_for(dataclasses.replace(rcfg0, use_l1=False),
+                              state_r)
+    prod = R.calibrate_budgets(mcfg, prod, state_r, rays, fused,
+                               termination=True, head_term=True)
     baked = bake_head_tables(params, mcfg, fused)
     print(json.dumps({"budgets": [cal.max_segments, cal.max_subsegments],
-                      "groups": [cal.occ_group_l1, cal.occ_group_l2]}))
+                      "groups": [cal.occ_group_l1, cal.occ_group_l2],
+                      "prod_budgets": [prod.max_segments,
+                                       prod.max_subsegments,
+                                       prod.max_subsegments_light,
+                                       prod.term_first,
+                                       round(prod.term_fraction, 3),
+                                       prod.head_term_first,
+                                       round(prod.head_term_fraction, 3)]}))
 
     def sync_any(x):
         leaf = jax.tree_util.tree_leaves(x)[0]
@@ -94,11 +114,29 @@ def main():
 
     results = {}
 
+    # A/B variants of the production point ----------------------------------
+    # bf16 brick atlas: halves the fine-gather bandwidth (the atlas is the
+    # hot table — every fine sample gathers one 128-lane row); interp math
+    # stays f32 (rows are upcast inside sample_density_brick)
+    fused_bf16atlas = build_render_grids(params, mcfg, rcfg0, state_r,
+                                         compact=True,
+                                         feature_dtype=jnp.bfloat16,
+                                         dense_override=dense,
+                                         atlas_dtype=jnp.bfloat16)
+    prod_noterm = dataclasses.replace(prod, term_first=0)
+    prod_k16 = dataclasses.replace(prod, head_topk=16, head_topk_semins=8)
+
     # -- full pass variants -------------------------------------------------
-    for name, rc, fu in [("full_grouped_baked", cal, baked),
+    for name, rc, fu in [("prod_full", prod, fused),
+                         ("prod_full_bf16atlas", prod, fused_bf16atlas),
+                         ("prod_full_noterm", prod_noterm, fused),
+                         ("prod_full_k16", prod_k16, fused),
+                         ("full_grouped_baked", cal, baked),
                          ("full_grouped_exactheads", cal, fused),
                          ("full_ungrouped_exactheads", ungrouped, fused),
                          ("full_ungrouped_baked", ungrouped, baked)]:
+        if not want(name):
+            continue
         fn = jax.jit(lambda p, f, r, rc=rc: R.render_rays(
             p, mcfg, rc, state_r, r, None, False, fused=f))
         results[name] = _time(lambda: fn(params, fu, rays),
@@ -106,14 +144,22 @@ def main():
         print(json.dumps({name: round(results[name], 3)}), flush=True)
 
     # -- density/ESS stages -------------------------------------------------
-    for name, rc in [("density_grouped", cal), ("density_ungrouped", ungrouped)]:
+    for name, rc, fu in [("prod_density", prod, fused),
+                         ("prod_density_bf16atlas", prod, fused_bf16atlas),
+                         ("prod_density_noterm", prod_noterm, fused),
+                         ("density_grouped", cal, fused),
+                         ("density_ungrouped", ungrouped, fused)]:
+        if not want(name):
+            continue
         fn = jax.jit(lambda p, f, r, rc=rc: R._two_level_density(
             mcfg, rc, state_r, r, f)[6])
-        results[name] = _time(lambda: fn(params, fused, rays),
+        results[name] = _time(lambda: fn(params, fu, rays),
                               lambda o: float(o[0, 0]), args.iters)
         print(json.dumps({name: round(results[name], 3)}), flush=True)
 
     for name, rc in [("l1_grouped", cal), ("l1_ungrouped", ungrouped)]:
+        if not want(name):
+            continue
         def l1(p, f, r, rc=rc):
             ro, rd, t0_ = R._ray_tmin(state_r, r)
             return R._select_segments(mcfg, rc, state_r, ro, rd, t0_, f)[0]
@@ -122,7 +168,37 @@ def main():
                               lambda o: float(o[0, 0]), args.iters)
         print(json.dumps({name: round(results[name], 3)}), flush=True)
 
+    # production L2-flat selection only (no segment cascade)
+    if want("prod_select_l2flat"):
+        def l2flat(p, f, r):
+            ro, rd, t0_ = R._ray_tmin(state_r, r)
+            return R._select_subsegments(mcfg, prod, state_r, ro, rd, t0_, f,
+                                         None, None)[0]
+        fn = jax.jit(l2flat)
+        results["prod_select_l2flat"] = _time(lambda: fn(params, fused, rays),
+                                              lambda o: float(o[0, 0, 0]),
+                                              args.iters)
+        print(json.dumps({"prod_select_l2flat":
+                          round(results["prod_select_l2flat"], 3)}), flush=True)
+
+    # selection + raw fine density (no termination/splice/transmittance):
+    # isolates the brick-atlas gather+interp block inside prod_density
+    if want("prod_selfine"):
+        def selfine(p, f, r):
+            ro, rd, t0_ = R._ray_tmin(state_r, r)
+            fine_steps, sample_valid, _ = R._select_subsegments(
+                mcfg, prod, state_r, ro, rd, t0_, f, None, None)
+            return R._fine_density(mcfg, prod, state_r, ro, rd, t0_, f,
+                                   fine_steps, sample_valid)[6]
+        fn = jax.jit(selfine)
+        results["prod_selfine"] = _time(lambda: fn(params, fused, rays),
+                                        lambda o: float(o[0, 0]), args.iters)
+        print(json.dumps({"prod_selfine":
+                          round(results["prod_selfine"], 3)}), flush=True)
+
     for name, rc in [("l1l2_grouped", cal), ("l1l2_ungrouped", ungrouped)]:
+        if not want(name):
+            continue
         def l12(p, f, r, rc=rc):
             ro, rd, t0_ = R._ray_tmin(state_r, r)
             si, sv = R._select_segments(mcfg, rc, state_r, ro, rd, t0_, f)
