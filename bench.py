@@ -231,7 +231,7 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     termination: bool = False, group: int = 1,
                     sub_stride: int = 8, coarse_stride: int = 16,
                     ckpt: str = None, tail_eps: float = 0.0,
-                    head_term: bool = False) -> dict:
+                    head_term: bool = False, k2: int = 12) -> dict:
     import os
 
     import jax
@@ -261,8 +261,16 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         cfg = e2e_config()
         params, mcfg, rcfg, state_r, meta = load_model_for_inference(
             ckpt, cfg, scene.num_semantic_classes, step_ratio=0.25)
+        # the TRAINED regime benches at the PRODUCTION INFERENCE operating
+        # point (load_model_for_inference's auto head_topk, semins = same):
+        # the r4 PQ^scene gate PASSES there (|delta| 0.07 pt) but FAILS at
+        # the analytic-bench k=24 point on this field (rgb p99 0.058,
+        # |delta PQ| 0.7 pt > the 0.5 BASELINE.json bar) — a trained field's
+        # fuzzy short-budget surfaces need the deeper head budget, and the
+        # recorded trained number must be one a user actually gets at
+        # gated fidelity (tools/pq_fidelity_gate.py --head_topk N).
         rcfg = dataclasses.replace(
-            rcfg, head_topk=24, head_topk_semins=12, head_dtype="bfloat16",
+            rcfg, head_dtype="bfloat16",
             coarse_stride=coarse_stride, max_segments=32,
             sub_stride=sub_stride, max_subsegments=48 * 8 // sub_stride)
         rng = np.random.default_rng(0)
@@ -292,7 +300,7 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         num_classes = 21
         mcfg, params, rcfg, state_r = build_model(
             cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
-        rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
+        rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=k2,
                                    head_dtype="bfloat16",
                                    coarse_stride=coarse_stride,
                                    max_segments=32, sub_stride=sub_stride,
@@ -385,16 +393,27 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          termination: bool = False, group: int = 1, sub_stride: int = 8,
          coarse_stride: int = 16, ckpt: str = None, tail_eps: float = 0.0,
          train_metric: bool = True, head_term: bool = False,
-         trained_metric: bool = True):
+         trained_metric: bool = True, k2: int = 12):
     import gc
     import os
+    import time as _time
+
+    # self-bounding: the driver runs `python bench.py` under an unknown
+    # wall-clock budget, and remote-TPU compiles dominate the runtime. The
+    # analytic metric is the contract; the trained-regime and train-step
+    # metrics are enrichments that are SKIPPED (with a recorded reason)
+    # once the soft budget is spent, so one slow compile can never cost the
+    # whole recorded line.
+    t_start = _time.monotonic()
+    soft_budget = float(os.environ.get("BENCH_TIME_BUDGET", 480.0))
 
     result = _measure_render(chunk, use_l1, pack, termination, group,
                              sub_stride, coarse_stride, ckpt, tail_eps,
-                             head_term)
+                             head_term, k2)
     gc.collect()  # the 192^3 render tables are locals of _measure_render
     if (trained_metric and ckpt is None
-            and os.path.exists(DEFAULT_TRAINED_CKPT)):
+            and os.path.exists(DEFAULT_TRAINED_CKPT)
+            and _time.monotonic() - t_start < soft_budget * 0.6):
         # second operating regime in the SAME driver line: the committed
         # reference-scale trained field (real optimization statistics —
         # sharper surfaces, deeper calibrated budgets; measured FASTER than
@@ -402,7 +421,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         try:
             tr = _measure_render(chunk, use_l1, pack, termination, group,
                                  sub_stride, coarse_stride,
-                                 DEFAULT_TRAINED_CKPT, tail_eps, head_term)
+                                 DEFAULT_TRAINED_CKPT, tail_eps, head_term,
+                                 k2)
             result["trained_field_rays_per_sec"] = tr["value"]
             result["trained_vs_baseline"] = tr["vs_baseline"]
             result["trained_budget_tail"] = tr["budget_tail"]
@@ -410,6 +430,11 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         except Exception as e:  # the analytic metric must still be recorded
             result["trained_error"] = f"{type(e).__name__}: {e}"[:200]
         gc.collect()
+    elif trained_metric and ckpt is None:
+        result["trained_skipped"] = "time_budget"
+    if train_metric and _time.monotonic() - t_start >= soft_budget:
+        result["train_skipped"] = "time_budget"
+        train_metric = False
     if train_metric:
         try:
             tps, spt = _train_full_step_rate()
@@ -451,6 +476,15 @@ if __name__ == "__main__":
         te_arg = 0.0
         if "--tail-eps" in sys.argv:
             te_arg = float(sys.argv[sys.argv.index("--tail-eps") + 1])
+        # sem/ins head top-k (a prefix of the head_topk sort). Default 8
+        # since round 4: the on-chip fidelity sweep measured k2=8
+        # byte-identical to k2=12 on every probe metric of the analytic
+        # field (rgb p99 5.4e-3, 0% argmax mismatch, same head_tail) at
+        # +3-5% throughput (analytic 477->499k). Applies to the ANALYTIC
+        # regime only — the trained regime runs the production auto point.
+        k2_arg = 8
+        if "--k2" in sys.argv:
+            k2_arg = int(sys.argv[sys.argv.index("--k2") + 1])
         # round-4 adopted defaults (PERFORMANCE.md "Round-4 on-chip A/B"):
         # two-phase termination ON (+8.6%), grouped dispatch 4, head_term
         # calibration ON (fires only where the probe proves >=15% head
@@ -464,4 +498,5 @@ if __name__ == "__main__":
              tail_eps=te_arg,
              train_metric="--no-train-metric" not in sys.argv,
              head_term="--no-hterm" not in sys.argv,
-             trained_metric="--no-trained-metric" not in sys.argv)
+             trained_metric="--no-trained-metric" not in sys.argv,
+             k2=k2_arg)

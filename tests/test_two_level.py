@@ -438,13 +438,30 @@ def test_head_term_on_fused_path_exact_and_calibrated():
                                    np.asarray(single[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
 
+    # the thick shells spread per-ray mass over many samples, so the ≥15%
+    # expected-win rule (PERFORMANCE.md r4: a marginal split still pays the
+    # two-pass launch overhead) must DECLINE head_term here
     cal = R.calibrate_budgets(mcfg, base, state_r, jnp.asarray(rays), fused,
                               head_term=True)
+    assert cal.head_term_first == 0, (
+        "head_term must decline on a field with no expected win")
+
+    # a sharp surface concentrates mass in the first few sorted samples —
+    # calibration must fire there, and the calibrated render must match
+    sharp_field = jnp.where(jnp.abs(r - 0.45) < 0.07, 60.0, 0.0)
+    fused_s = fg.build_fused_grids(
+        params, mcfg, corner_features=("appearance",), with_occupancy=True,
+        dense_override=sharp_field, with_atlas=True, with_occ_groups=True,
+        occ_bits_thres=thres)
+    cal = R.calibrate_budgets(mcfg, base, state_r, jnp.asarray(rays),
+                              fused_s, head_term=True)
     assert cal.head_term_first > 0 and 0 < cal.head_term_fraction <= 1.0
+    single_s = R.render_rays(params, mcfg, base, state_r, rays, None, False,
+                             fused=fused_s)
     out_c = R.render_rays(params, mcfg, cal, state_r, rays, None, False,
-                          fused=fused)
+                          fused=fused_s)
     np.testing.assert_allclose(np.asarray(out_c["rgb"]),
-                               np.asarray(single["rgb"]), atol=2e-2)
+                               np.asarray(single_s["rgb"]), atol=2e-2)
     # heavy/light bucketing must still calibrate when termination is off
     # (regression: the head_term block must not break the if/elif chain)
     if base.heavy_fraction > 0:

@@ -168,6 +168,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--gate", type=float, default=0.005,
                     help="max |PQ(fast) - PQ(dense)| (BASELINE.json: 0.5 pt)")
+    ap.add_argument("--head_topk", type=int, default=None,
+                    help="override the auto head top-k with the BENCH "
+                         "operating point (e.g. 24) so the gate adjudicates "
+                         "the exact configuration the headline rays/s uses")
+    ap.add_argument("--k2", type=int, default=None,
+                    help="head_topk_semins override (requires --head_topk)")
     args = ap.parse_args()
 
     from contrastive_lift_tpu.inference.render import load_model_for_inference
@@ -175,12 +181,21 @@ def main():
     scene = e2e_scene(tuple(args.image_dim), args.num_train)
     cfg = e2e_config(tuple(args.image_dim), epochs=args.epochs)
     params, mcfg, rcfg, state_r, meta = load_model_for_inference(
-        args.ckpt, cfg, scene.num_semantic_classes, step_ratio=0.25)
+        args.ckpt, cfg, scene.num_semantic_classes, step_ratio=0.25,
+        head_topk=args.head_topk if args.head_topk else "auto")
+    if args.head_topk:
+        # the BENCH headline point runs bf16 heads; mirror it so the gate
+        # adjudicates the exact recorded configuration
+        import dataclasses as _dc
+        rcfg = _dc.replace(rcfg, head_dtype="bfloat16",
+                           head_topk_semins=args.k2)
     result = run_gate(params, mcfg, rcfg, state_r, scene, cfg.max_instances,
                       bandwidth=args.bandwidth, gate=args.gate,
                       chunk=cfg.chunk)
     result = {"ckpt": str(args.ckpt), "grid_dim": list(meta["grid_dim"]),
-              **result}
+              "head_topk": rcfg.head_topk,
+              "head_topk_semins": rcfg.head_topk_semins,
+              "head_dtype": rcfg.head_dtype, **result}
     line = json.dumps(result)
     print(line, flush=True)
     if args.out:
