@@ -1,10 +1,23 @@
 """Render-throughput benchmark on the flagship slow-fast panoptic model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Metric: inference rays/sec on one chip through the FULL render pass (density +
-transmittance + rgb/semantic/instance heads + compositing) at the reference's
-inference operating point — 192^3 grid, step_ratio 0.25 -> 1324 samples/ray
+Headline metric: inference rays/sec on one chip through the FULL render pass
+(density + transmittance + rgb/semantic/instance heads + compositing) on the
+ANALYTIC bench field — the r1+ headline series. The same line records the
+committed reference-scale TRAINED checkpoint (artifacts/e2e_r4_tpu) at its
+PQ-gated production operating point (|ΔPQ^scene| < 0.5 pt vs dense fp32,
+artifacts/e2e_r4_tpu/FIDELITY_PQ_bench_point.json) — the cross-check VERDICT
+r3 #3 asked for: real optimization statistics, budgets calibrated on the
+trained field. Note the two regimes trade differently: the trained field's
+ESS budgets land DEEPER (sharper surfaces) but its fuzzy short-budget
+surfaces need a deeper head budget to hold PQ fidelity (auto head_topk=64 vs
+the analytic field's fidelity-proven k=24), so its gated point is slower —
+the recorded trained number is one a user actually gets at gated fidelity,
+not a fidelity-failing fast point. The full 3-phase train-step rate rides in
+the same line (train_steps_per_sec).
+
+Analytic regime: 192^3 grid, step_ratio 0.25 -> 1324 samples/ray
 (reference: inference/render_panopli.py:104), 21 classes, slow-fast instance
 head. Uses the production inference fast path (ops/fused_grid.py):
 brick-atlas density (one 128-lane gather + fused hat-product interpolation
@@ -226,6 +239,70 @@ def _train_full_step_rate():
 # regimes (VERDICT r3 #3: analytic-shell occupancy must not flatter ESS)
 DEFAULT_TRAINED_CKPT = "artifacts/e2e_r4_tpu/checkpoints/final.npz"
 
+# pinned scene-calibration results (see _calibrated): calibrate_budgets is
+# deterministic given (field, probe rays, config), and its probe pass is one
+# of the two big remote-TPU compiles per regime — pinning its adjudicated
+# output halves the bench's compile wall so the driver's run records ALL
+# regimes within its time budget. The pins are validated two ways: the
+# fingerprint must match the live config exactly (else live calibration runs
+# and refreshes the file), and the run itself still measures budget_tail /
+# head_tail at the pinned point — a stale pin surfaces as a visible tail.
+PIN_PATH = "artifacts/bench_budgets.json"
+_PIN_FIELDS = ("max_segments", "max_subsegments", "max_subsegments_light",
+               "term_first", "term_fraction", "head_term_first",
+               "head_term_fraction")
+
+
+def _calibrated(mcfg, rcfg, state_r, rays, fused, regime: str, fp_extra: dict,
+                termination: bool, tail_eps: float, head_term: bool):
+    """calibrate_budgets with a committed memo: returns (rcfg', pinned)."""
+    import dataclasses as _dc
+    import json as _json
+    import os
+
+    from contrastive_lift_tpu.renderer import render as R
+    fp = {"regime": regime, "n_samples": int(rcfg.n_samples),
+          "coarse_stride": rcfg.coarse_stride, "sub_stride": rcfg.sub_stride,
+          "pre_max_segments": int(rcfg.max_segments),
+          "pre_max_subsegments": int(rcfg.max_subsegments),
+          "head_topk": rcfg.head_topk, "head_topk_semins": rcfg.head_topk_semins,
+          "use_l1": bool(rcfg.use_l1), "termination": bool(termination),
+          "tail_eps": float(tail_eps), "head_term": bool(head_term),
+          "chunk": int(rays.shape[0])}
+    fp.update(fp_extra)
+    # key by regime + fingerprint hash so off-default runs (smoke grids,
+    # flag A/Bs) pin alongside the production entries instead of clobbering
+    import hashlib
+    key = f"{regime}-" + hashlib.md5(
+        _json.dumps(fp, sort_keys=True).encode()).hexdigest()[:10]
+    pins = {}
+    if os.path.exists(PIN_PATH):
+        try:
+            with open(PIN_PATH) as f:
+                pins = _json.load(f)
+        except (OSError, ValueError):
+            pins = {}
+    ent = pins.get(key)
+    if (ent and ent.get("fingerprint") == fp
+            and not os.environ.get("BENCH_RECALIBRATE")):
+        return _dc.replace(rcfg, **ent["budgets"]), True
+    out = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
+                              termination=termination, tail_eps=tail_eps,
+                              head_term=head_term)
+    budgets = {}
+    for k in _PIN_FIELDS:
+        v = getattr(out, k)
+        budgets[k] = float(v) if isinstance(v, float) else int(v)
+    pins[key] = {"fingerprint": fp, "budgets": budgets}
+    try:
+        os.makedirs(os.path.dirname(PIN_PATH), exist_ok=True)
+        with open(PIN_PATH, "w") as f:
+            _json.dump(pins, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: live calibration still returned
+    return out, False
+
 
 def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     termination: bool = False, group: int = 1,
@@ -341,9 +418,10 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     # grouped occupancy tests (one 5^3-neighborhood row per ~5 L1 tests /
     # per segment's L2 tests) — derived from the step geometry
     rcfg = R.occ_grouping_for(rcfg, state_r)
-    rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
-                               termination=termination, tail_eps=tail_eps,
-                               head_term=head_term)
+    regime = "trained" if ckpt is not None else "analytic"
+    fp_extra = {"ckpt": ckpt} if ckpt is not None else {}
+    rcfg, pinned = _calibrated(mcfg, rcfg, state_r, rays, fused, regime,
+                               fp_extra, termination, tail_eps, head_term)
     if group > 1:
         # grouped dispatch: G chunks of identical per-chunk compute per
         # device call — amortizes the ~1.2 ms remote-tunnel dispatch cost
@@ -385,6 +463,9 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     rcfg.max_subsegments_light, rcfg.term_first,
                     round(rcfg.term_fraction, 3), rcfg.head_term_first,
                     round(rcfg.head_term_fraction, 3)],
+        # True = budgets came from the committed pin (artifacts/
+        # bench_budgets.json); the tails above are still measured live
+        "budgets_pinned": pinned,
     }
     return result
 
@@ -396,43 +477,70 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          trained_metric: bool = True, k2: int = 12):
     import gc
     import os
+    import signal
     import time as _time
 
     # self-bounding: the driver runs `python bench.py` under an unknown
     # wall-clock budget, and remote-TPU compiles dominate the runtime. The
-    # analytic metric is the contract; the trained-regime and train-step
-    # metrics are enrichments that are SKIPPED (with a recorded reason)
-    # once the soft budget is spent, so one slow compile can never cost the
-    # whole recorded line.
+    # ANALYTIC metric (the r1-r4 headline series) is measured first and is
+    # the contract; the trained-regime and train-step metrics follow, each
+    # gated on the remaining budget (with a recorded skip reason), so one
+    # slow compile can never cost the whole recorded line. After the first
+    # phase lands, a SIGALRM print-guard guarantees the partial line reaches
+    # stdout even if a later phase's remote compile hangs (tunnel outages
+    # present as indefinite blocks, CLAUDE.md). The pinned calibrations
+    # (artifacts/bench_budgets.json) remove one big compile per regime so
+    # all three phases normally fit the default budget.
     t_start = _time.monotonic()
-    soft_budget = float(os.environ.get("BENCH_TIME_BUDGET", 480.0))
+    soft_budget = float(os.environ.get("BENCH_TIME_BUDGET", 600.0))
 
     result = _measure_render(chunk, use_l1, pack, termination, group,
                              sub_stride, coarse_stride, ckpt, tail_eps,
                              head_term, k2)
     gc.collect()  # the 192^3 render tables are locals of _measure_render
-    if (trained_metric and ckpt is None
-            and os.path.exists(DEFAULT_TRAINED_CKPT)
-            and _time.monotonic() - t_start < soft_budget * 0.6):
+    t1 = _time.monotonic() - t_start
+
+    def _guard(sig, frm):  # later-phase hang: flush what we have and exit
+        result.setdefault("guard_fired", "later_phase_timeout")
+        print(json.dumps(result), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _guard)
+    signal.alarm(max(120, int(soft_budget * 1.5 - t1)))
+
+    # BENCH_GRID marks a small-grid smoke run (CLAUDE.md recipe): it only
+    # rescales the ANALYTIC regime, so the full-scale trained phase would
+    # dominate a CPU smoke run — skip it there.
+    if (trained_metric and ckpt is None and "BENCH_GRID" not in os.environ
+            and os.path.exists(DEFAULT_TRAINED_CKPT)):
         # second operating regime in the SAME driver line: the committed
-        # reference-scale trained field (real optimization statistics —
-        # sharper surfaces, deeper calibrated budgets; measured FASTER than
-        # the analytic shells, so the headline number is the conservative one)
-        try:
-            tr = _measure_render(chunk, use_l1, pack, termination, group,
-                                 sub_stride, coarse_stride,
-                                 DEFAULT_TRAINED_CKPT, tail_eps, head_term,
-                                 k2)
-            result["trained_field_rays_per_sec"] = tr["value"]
-            result["trained_vs_baseline"] = tr["vs_baseline"]
-            result["trained_budget_tail"] = tr["budget_tail"]
-            result["trained_head_tail"] = tr["head_tail"]
-        except Exception as e:  # the analytic metric must still be recorded
-            result["trained_error"] = f"{type(e).__name__}: {e}"[:200]
-        gc.collect()
+        # reference-scale trained field at its PQ-gated production operating
+        # point (real optimization statistics — the cross-check VERDICT r3
+        # #3 asked for). Cost ~= the analytic phase (same compile
+        # structure), hence the 0.9*t1 gate.
+        if _time.monotonic() - t_start + 0.9 * t1 < soft_budget:
+            try:
+                tr = _measure_render(chunk, use_l1, pack, termination, group,
+                                     sub_stride, coarse_stride,
+                                     DEFAULT_TRAINED_CKPT, tail_eps,
+                                     head_term, k2)
+                result["trained_field_rays_per_sec"] = tr["value"]
+                result["trained_vs_baseline"] = tr["vs_baseline"]
+                result["trained_budget_tail"] = tr["budget_tail"]
+                result["trained_head_tail"] = tr["head_tail"]
+                result["trained_budgets"] = tr["budgets"]
+            except Exception as e:  # the headline must still be recorded
+                result["trained_error"] = f"{type(e).__name__}: {e}"[:200]
+            gc.collect()
+        else:
+            result["trained_skipped"] = "time_budget"
     elif trained_metric and ckpt is None:
-        result["trained_skipped"] = "time_budget"
-    if train_metric and _time.monotonic() - t_start >= soft_budget:
+        result["trained_skipped"] = ("smoke_grid"
+                                     if "BENCH_GRID" in os.environ
+                                     else "checkpoint_missing")
+    # train-step phase cost = one train-step compile (~170 s measured on
+    # chip) + a few timed steps
+    if train_metric and (_time.monotonic() - t_start) + 200.0 >= soft_budget:
         result["train_skipped"] = "time_budget"
         train_metric = False
     if train_metric:
@@ -446,6 +554,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
             result["train_vs_cpu_core_baseline"] = round(tps / 0.081, 1)
         except Exception as e:  # the render metric must still be recorded
             result["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    signal.alarm(0)
+    result["bench_wall_s"] = round(_time.monotonic() - t_start, 1)
     print(json.dumps(result))
 
 
