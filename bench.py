@@ -254,7 +254,8 @@ _PIN_FIELDS = ("max_segments", "max_subsegments", "max_subsegments_light",
 
 
 def _calibrated(mcfg, rcfg, state_r, rays, fused, regime: str, fp_extra: dict,
-                termination: bool, tail_eps: float, head_term: bool):
+                termination: bool, tail_eps: float, head_term: bool,
+                head_tail_eps: float = 2e-3):
     """calibrate_budgets with a committed memo: returns (rcfg', pinned)."""
     import dataclasses as _dc
     import json as _json
@@ -268,6 +269,7 @@ def _calibrated(mcfg, rcfg, state_r, rays, fused, regime: str, fp_extra: dict,
           "head_topk": rcfg.head_topk, "head_topk_semins": rcfg.head_topk_semins,
           "use_l1": bool(rcfg.use_l1), "termination": bool(termination),
           "tail_eps": float(tail_eps), "head_term": bool(head_term),
+          "head_tail_eps": float(head_tail_eps),
           "chunk": int(rays.shape[0])}
     fp.update(fp_extra)
     # key by regime + fingerprint hash so off-default runs (smoke grids,
@@ -288,7 +290,8 @@ def _calibrated(mcfg, rcfg, state_r, rays, fused, regime: str, fp_extra: dict,
         return _dc.replace(rcfg, **ent["budgets"]), True
     out = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
                               termination=termination, tail_eps=tail_eps,
-                              head_term=head_term)
+                              head_term=head_term,
+                              head_tail_eps=head_tail_eps)
     budgets = {}
     for k in _PIN_FIELDS:
         v = getattr(out, k)
@@ -308,7 +311,8 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     termination: bool = False, group: int = 1,
                     sub_stride: int = 8, coarse_stride: int = 16,
                     ckpt: str = None, tail_eps: float = 0.0,
-                    head_term: bool = False, k2: int = 12) -> dict:
+                    head_term: bool = False, k2: int = 12,
+                    head_tail_eps: float = 2e-3) -> dict:
     import os
 
     import jax
@@ -421,7 +425,8 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     regime = "trained" if ckpt is not None else "analytic"
     fp_extra = {"ckpt": ckpt} if ckpt is not None else {}
     rcfg, pinned = _calibrated(mcfg, rcfg, state_r, rays, fused, regime,
-                               fp_extra, termination, tail_eps, head_term)
+                               fp_extra, termination, tail_eps, head_term,
+                               head_tail_eps)
     if group > 1:
         # grouped dispatch: G chunks of identical per-chunk compute per
         # device call — amortizes the ~1.2 ms remote-tunnel dispatch cost
@@ -474,7 +479,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          termination: bool = False, group: int = 1, sub_stride: int = 8,
          coarse_stride: int = 16, ckpt: str = None, tail_eps: float = 0.0,
          train_metric: bool = True, head_term: bool = False,
-         trained_metric: bool = True, k2: int = 12):
+         trained_metric: bool = True, k2: int = 12,
+         head_tail_eps: float = 2e-3, trained_hterm_eps: float = None):
     import gc
     import os
     import signal
@@ -496,7 +502,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
 
     result = _measure_render(chunk, use_l1, pack, termination, group,
                              sub_stride, coarse_stride, ckpt, tail_eps,
-                             head_term, k2)
+                             head_term, k2, head_tail_eps)
     gc.collect()  # the 192^3 render tables are locals of _measure_render
     t1 = _time.monotonic() - t_start
 
@@ -523,7 +529,9 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                 tr = _measure_render(chunk, use_l1, pack, termination, group,
                                      sub_stride, coarse_stride,
                                      DEFAULT_TRAINED_CKPT, tail_eps,
-                                     head_term, k2)
+                                     head_term, k2,
+                                     trained_hterm_eps if trained_hterm_eps
+                                     is not None else head_tail_eps)
                 result["trained_field_rays_per_sec"] = tr["value"]
                 result["trained_vs_baseline"] = tr["vs_baseline"]
                 result["trained_budget_tail"] = tr["budget_tail"]
@@ -595,6 +603,16 @@ if __name__ == "__main__":
         k2_arg = 8
         if "--k2" in sys.argv:
             k2_arg = int(sys.argv[sys.argv.index("--k2") + 1])
+        # two-phase head mass bound (calibrate_budgets head_tail_eps);
+        # --trained-hterm-eps overrides it for the TRAINED regime only —
+        # candidate points must pass tools/pq_fidelity_gate.py first
+        hte_arg = 2e-3
+        if "--hterm-eps" in sys.argv:
+            hte_arg = float(sys.argv[sys.argv.index("--hterm-eps") + 1])
+        thte_arg = None
+        if "--trained-hterm-eps" in sys.argv:
+            thte_arg = float(
+                sys.argv[sys.argv.index("--trained-hterm-eps") + 1])
         # round-4 adopted defaults (PERFORMANCE.md "Round-4 on-chip A/B"):
         # two-phase termination ON (+8.6%), grouped dispatch 4, head_term
         # calibration ON (fires only where the probe proves >=15% head
@@ -609,4 +627,4 @@ if __name__ == "__main__":
              train_metric="--no-train-metric" not in sys.argv,
              head_term="--no-hterm" not in sys.argv,
              trained_metric="--no-trained-metric" not in sys.argv,
-             k2=k2_arg)
+             k2=k2_arg, head_tail_eps=hte_arg, trained_hterm_eps=thte_arg)

@@ -106,7 +106,8 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   use_fused: bool = True, mesh=None, data_axis: str = "data",
                   auto_budget: bool = True, bake_heads: bool = False,
                   termination: bool = True, head_term: bool = True,
-                  dispatch_group: int = 4, l2_only: bool = True):
+                  dispatch_group: int = 4, l2_only: bool = True,
+                  head_tail_eps: float = 2e-3):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
     Builds the fused dense grids once (parameters are fixed at inference) so
@@ -139,9 +140,14 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
         per = max(1, 4096 // len(sel))
         probe = np.concatenate(
             [f.rays[::max(1, len(f.rays) // per)][:per] for f in sel])
+        # head_tail_eps: the per-ray dropped-mass bound the two-phase head
+        # calibration may accept on pass-A non-survivors — a fidelity
+        # operating point; loosen only with a PQ-gate artifact proving it
+        # (tools/pq_fidelity_gate.py --head_tail_eps)
         rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, probe, fused,
                                    termination=termination,
-                                   head_term=head_term)
+                                   head_term=head_term,
+                                   head_tail_eps=head_tail_eps)
     if bake_heads and fused is not None and fused.compact_cells is not None:
         from ..renderer.bake import bake_head_tables
         fused = bake_head_tables(params, mcfg, fused)

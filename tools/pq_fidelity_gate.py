@@ -99,7 +99,7 @@ def cluster_maps(per_frame, scene, bandwidth, max_instances):
 
 def run_gate(params, mcfg, rcfg, state_r, scene, max_instances: int,
              bandwidth: float = 0.15, gate: float = 0.005,
-             chunk: int = 4096) -> dict:
+             chunk: int = 4096, head_tail_eps: float = 2e-3) -> dict:
     """Render the val split through the fast path and the dense fp32 path,
     cluster identically, and return the PQ^scene comparison record."""
     import dataclasses as _dc
@@ -108,7 +108,7 @@ def run_gate(params, mcfg, rcfg, state_r, scene, max_instances: int,
 
     t0 = time.time()
     fast_frames = render_frames(params, mcfg, rcfg, state_r, scene.val_frames,
-                                chunk=chunk)
+                                chunk=chunk, head_tail_eps=head_tail_eps)
     t_fast = time.time() - t0
 
     # dense fp32 reference: no ESS, no top-k, f32 heads. compact=True is
@@ -174,6 +174,11 @@ def main():
                          "the exact configuration the headline rays/s uses")
     ap.add_argument("--k2", type=int, default=None,
                     help="head_topk_semins override (requires --head_topk)")
+    ap.add_argument("--head_tail_eps", type=float, default=2e-3,
+                    help="per-ray dropped-mass bound the two-phase head "
+                         "calibration may accept (calibrate_budgets "
+                         "head_tail_eps) — gate candidate operating points "
+                         "before loosening the production default")
     args = ap.parse_args()
 
     from contrastive_lift_tpu.inference.render import load_model_for_inference
@@ -191,11 +196,12 @@ def main():
                            head_topk_semins=args.k2)
     result = run_gate(params, mcfg, rcfg, state_r, scene, cfg.max_instances,
                       bandwidth=args.bandwidth, gate=args.gate,
-                      chunk=cfg.chunk)
+                      chunk=cfg.chunk, head_tail_eps=args.head_tail_eps)
     result = {"ckpt": str(args.ckpt), "grid_dim": list(meta["grid_dim"]),
               "head_topk": rcfg.head_topk,
               "head_topk_semins": rcfg.head_topk_semins,
-              "head_dtype": rcfg.head_dtype, **result}
+              "head_dtype": rcfg.head_dtype,
+              "head_tail_eps": args.head_tail_eps, **result}
     line = json.dumps(result)
     print(line, flush=True)
     if args.out:

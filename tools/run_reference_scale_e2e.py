@@ -70,7 +70,12 @@ def main():
         late_semantic_optimization=0, instance_optimization_epoch=3,
         segment_optimization_epoch=6, max_epoch=args.epochs,
         image_dim=tuple(args.image_dim), seed=0, lr=1.5e-3,
-        decay_step=[6, 7], save_every_n_train_steps=0, precision="bf16",
+        # LR decay scales with the run length (10 epochs -> the original
+        # [6, 7]); a fixed [6, 7] would freeze longer runs at lr*0.01 for
+        # most of training and the field would never sharpen
+        decay_step=[max(1, int(args.epochs * 0.6)),
+                    max(2, int(args.epochs * 0.7))],
+        save_every_n_train_steps=0, precision="bf16",
         weight_class_0=1.0, lambda_semantics=1.0, lambda_dist_reg=0.0,
     ).resolve_epochs()
 
