@@ -341,17 +341,21 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         scene = e2e_scene()
         cfg = e2e_config()
         params, mcfg, rcfg, state_r, meta = load_model_for_inference(
-            ckpt, cfg, scene.num_semantic_classes, step_ratio=0.25)
-        # the TRAINED regime benches at the PRODUCTION INFERENCE operating
-        # point (load_model_for_inference's auto head_topk, semins = same):
-        # the r4 PQ^scene gate PASSES there (|delta| 0.07 pt) but FAILS at
-        # the analytic-bench k=24 point on this field (rgb p99 0.058,
-        # |delta PQ| 0.7 pt > the 0.5 BASELINE.json bar) — a trained field's
-        # fuzzy short-budget surfaces need the deeper head budget, and the
-        # recorded trained number must be one a user actually gets at
-        # gated fidelity (tools/pq_fidelity_gate.py --head_topk N).
+            ckpt, cfg, scene.num_semantic_classes, step_ratio=0.25,
+            head_topk=24)
+        # the TRAINED regime benches at k=24/k2 with TAIL COMPLETION
+        # (RenderConfig.head_tail_complete) — the PQ^scene gate PASSES there
+        # (artifacts/e2e_r4_tpu/FIDELITY_PQ_bench_point.json: |delta PQ
+        # masked| 0.01 pt, rgb p99 8.3e-3). Without completion this k=24
+        # point FAILED the gate (rgb p99 0.058, |delta| 0.7 pt — the trained
+        # field's fuzzy surfaces spread weight past k=24) and the regime had
+        # to bench at the auto k=64 point (292.8k rays/s); completion
+        # renormalizes by the exact dropped above-threshold mass, collapsing
+        # the truncation error at zero measurable cost
+        # (tools/pq_fidelity_gate.py --head_topk 24 --k2 8).
         rcfg = dataclasses.replace(
-            rcfg, head_dtype="bfloat16",
+            rcfg, head_dtype="bfloat16", head_tail_complete=True,
+            head_topk_semins=k2,
             coarse_stride=coarse_stride, max_segments=32,
             sub_stride=sub_stride, max_subsegments=48 * 8 // sub_stride)
         rng = np.random.default_rng(0)
@@ -383,6 +387,7 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
             cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
         rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=k2,
                                    head_dtype="bfloat16",
+                                   head_tail_complete=True,
                                    coarse_stride=coarse_stride,
                                    max_segments=32, sub_stride=sub_stride,
                                    # pre-calibration cap scales with sub count
@@ -598,8 +603,9 @@ if __name__ == "__main__":
         # since round 4: the on-chip fidelity sweep measured k2=8
         # byte-identical to k2=12 on every probe metric of the analytic
         # field (rgb p99 5.4e-3, 0% argmax mismatch, same head_tail) at
-        # +3-5% throughput (analytic 477->499k). Applies to the ANALYTIC
-        # regime only — the trained regime runs the production auto point.
+        # +3-5% throughput (analytic 477->499k). Applies to BOTH regimes
+        # since tail completion landed: the trained regime's k=24/k2=8
+        # point passes the PQ gate with completion (FIDELITY_PQ_bench_point).
         k2_arg = 8
         if "--k2" in sys.argv:
             k2_arg = int(sys.argv[sys.argv.index("--k2") + 1])

@@ -107,7 +107,7 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   auto_budget: bool = True, bake_heads: bool = False,
                   termination: bool = True, head_term: bool = True,
                   dispatch_group: int = 4, l2_only: bool = True,
-                  head_tail_eps: float = 2e-3):
+                  head_tail_eps: float = 2e-3, tail_complete: bool = True):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
     Builds the fused dense grids once (parameters are fixed at inference) so
@@ -122,6 +122,13 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     (single-chip path only) — identical numerics, fewer host round trips.
     """
     fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
+    if tail_complete and rcfg.head_topk is not None:
+        # top-k tail completion (production default since round 4):
+        # renormalizes rgb/instance maps by the exact above-threshold mass
+        # the top-k cut dropped — a no-op on sharp fields, and on fuzzy
+        # trained fields it collapses the truncation error that previously
+        # failed the k=24 PQ gate (RenderConfig.head_tail_complete)
+        rcfg = dataclasses.replace(rcfg, head_tail_complete=True)
     if (l2_only and fused is not None and rcfg.sub_stride is not None
             and fused.coarse_occ_tight is not None):
         # L2-only selection (production default since round 4): the flat

@@ -131,3 +131,65 @@ def test_head_term_requires_topk():
                         dim_feature_instance=6)
     with pytest.raises(ValueError):
         dataclasses.replace(rcfg, head_term_first=8)
+
+
+def _map_err(a, b, key):
+    return float(np.max(np.abs(np.asarray(a[key]) - np.asarray(b[key]))))
+
+
+def test_tail_complete_reduces_truncation_error():
+    """head_tail_complete renormalizes rgb/instance maps by the exact
+    above-threshold mass an aggressive top-k cut dropped; on a field with
+    diffuse weights the residual error must shrink substantially (the tail
+    samples share the kept samples' surface, so crediting them with the
+    kept weighted-mean value removes the first-order truncation term)."""
+    scene, cfg, mcfg, params, rcfg, state_r = _trained_setup()
+    rays = scene.val_frames[0].rays[::7][:128]
+    dense = R.render_rays(params, mcfg, rcfg, state_r, rays, None, False)
+    cut = dataclasses.replace(rcfg, head_topk=8)
+    plain = R.render_rays(params, mcfg, cut, state_r, rays, None, False)
+    comp = R.render_rays(params, mcfg,
+                         dataclasses.replace(cut, head_tail_complete=True),
+                         state_r, rays, None, False)
+    for key in ("rgb", "instances"):
+        e_plain = _map_err(plain, dense, key)
+        e_comp = _map_err(comp, dense, key)
+        # the cut must actually truncate (otherwise the test proves nothing)
+        assert e_plain > 5e-3, (key, e_plain)
+        assert e_comp < 0.5 * e_plain, (key, e_plain, e_comp)
+    # semantics are deliberately NOT completed (argmax/softmax postprocess is
+    # scale-invariant): maps must be bit-identical between the two renders
+    np.testing.assert_array_equal(np.asarray(comp["semantics"]),
+                                  np.asarray(plain["semantics"]))
+
+
+def test_tail_complete_noop_when_topk_covers():
+    """When k covers every above-threshold sample the kept mass equals the
+    full masked mass and the completion ratio is 1 — identical maps up to
+    summation-order rounding."""
+    scene, cfg, mcfg, params, rcfg, state_r = _trained_setup()
+    rays = scene.val_frames[0].rays[::5][:96]
+    cover = dataclasses.replace(rcfg, head_topk=rcfg.n_samples // 2)
+    plain = R.render_rays(params, mcfg, cover, state_r, rays, None, False)
+    comp = R.render_rays(params, mcfg,
+                         dataclasses.replace(cover, head_tail_complete=True),
+                         state_r, rays, None, False)
+    for key in ("rgb", "instances"):
+        np.testing.assert_allclose(np.asarray(comp[key]),
+                                   np.asarray(plain[key]), atol=2e-5,
+                                   err_msg=key)
+
+
+def test_tail_complete_head_term_frac1_matches_topk():
+    """Completion composes with the two-phase head splice: at fraction=1.0
+    the spliced kept mass equals the plain top-k kept mass, so the completed
+    maps must agree across the two code paths."""
+    scene, cfg, mcfg, params, rcfg, state_r = _trained_setup()
+    rays = scene.val_frames[0].rays[::5][:96]
+    base = dataclasses.replace(rcfg, head_topk=12, head_tail_complete=True)
+    ht = dataclasses.replace(base, head_term_first=6, head_term_fraction=1.0)
+    a = R.render_rays(params, mcfg, base, state_r, rays, None, False)
+    b = R.render_rays(params, mcfg, ht, state_r, rays, None, False)
+    for key in ("rgb", "instances"):
+        np.testing.assert_allclose(np.asarray(b[key]), np.asarray(a[key]),
+                                   atol=3e-5, err_msg=key)
