@@ -61,15 +61,38 @@ import numpy as np
 A100_BASELINE_RAYS_PER_SEC = 1.0e5
 
 
+XLA_CACHE_DIR = "artifacts/xla_cache"
+
+
 def _honor_platform_env():
     """The container's sitecustomize pre-registers the remote-TPU platform,
     which overrides JAX_PLATFORMS (CLAUDE.md); re-apply the env var so
-    `JAX_PLATFORMS=cpu python bench.py` (smoke runs) behaves as documented."""
+    `JAX_PLATFORMS=cpu python bench.py` (smoke runs) behaves as documented.
+
+    Also enables the persistent XLA compilation cache (repo-local): on the
+    remote-TPU platform every compile pays a ~60-200 s remote-compile HTTP
+    hop — the round-4 driver run spent 693 s of its 600 s budget on the
+    analytic phase's compiles alone and skipped the other two metrics
+    (VERDICT r4 #1). With the cache warmed (any prior full run), a repeat
+    bench run deserializes executables in <1 s each and all three phases fit
+    the budget with minutes to spare. Measured on chip: 81 s compile -> 0.7 s
+    cache hit for a toy program."""
     import os
 
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if not os.environ.get("BENCH_NO_COMPILE_CACHE"):
+        import pathlib
+        cache = pathlib.Path(__file__).resolve().parent / XLA_CACHE_DIR
+        try:
+            cache.mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except (OSError, AttributeError):
+            pass  # read-only checkout / older jax: compiles stay live
 
 
 def bench_train():
@@ -428,7 +451,17 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     # per segment's L2 tests) — derived from the step geometry
     rcfg = R.occ_grouping_for(rcfg, state_r)
     regime = "trained" if ckpt is not None else "analytic"
-    fp_extra = {"ckpt": ckpt} if ckpt is not None else {}
+    fp_extra = {}
+    if ckpt is not None:
+        # pin by checkpoint CONTENT, not just path: a regenerated final.npz
+        # must invalidate the pinned budgets (advisor r4 — a stale pin would
+        # bias the recorded headline without necessarily tripping the tells)
+        import hashlib as _hl
+        h = _hl.md5()
+        with open(ckpt, "rb") as f:
+            for blk in iter(lambda: f.read(1 << 20), b""):
+                h.update(blk)
+        fp_extra = {"ckpt": ckpt, "ckpt_md5": h.hexdigest()}
     rcfg, pinned = _calibrated(mcfg, rcfg, state_r, rays, fused, regime,
                                fp_extra, termination, tail_eps, head_term,
                                head_tail_eps)

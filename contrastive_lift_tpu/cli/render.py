@@ -34,13 +34,24 @@ def main(argv=None):
     parser.add_argument("--n_data_shards", type=int, default=None,
                         help="devices for sharded rendering (0=all; default: "
                         "the run config's n_data_shards)")
-    parser.add_argument("--term", action="store_true", default=True,
-                        help="two-phase early-termination fine evaluation "
-                        "(TPU perf knob, RenderConfig.term_first; budgets "
-                        "stay scene-calibrated and guarded by budget_tail). "
-                        "DEFAULT ON since round 4 (+8.6% on-chip A/B, "
-                        "PERFORMANCE.md); --no-term disables")
-    parser.add_argument("--no-term", dest="term", action="store_false")
+    parser.add_argument("--no-term", dest="term", action="store_false",
+                        default=True,
+                        help="disable two-phase early-termination fine "
+                        "evaluation (RenderConfig.term_first; ON by default "
+                        "since round 4: +8.6%% on-chip A/B, PERFORMANCE.md; "
+                        "budgets stay scene-calibrated and guarded by "
+                        "budget_tail)")
+    parser.add_argument("--no-hterm", dest="head_term", action="store_false",
+                        default=True,
+                        help="disable the two-phase head-evaluation "
+                        "calibration (RenderConfig.head_term_first; fires "
+                        "only where the probe proves a >=15%% head saving)")
+    parser.add_argument("--no-tail-complete", dest="tail_complete",
+                        action="store_false", default=None,
+                        help="disable top-k tail completion (RenderConfig."
+                        "head_tail_complete; ON by default since round 4 "
+                        "whenever head_topk is set) — restores the pre-r4 "
+                        "exact-top-k render")
     parser.add_argument("--l1", dest="l2_only", action="store_false",
                         default=True,
                         help="restore the L1 segment cascade (default: "
@@ -77,7 +88,8 @@ def main(argv=None):
         segmentwise=args.segmentwise, use_silverman=args.use_silverman,
         cluster_size=args.cluster_size,
         cached_centroids_path=args.cached_centroids_path, chunk=args.chunk,
-        mesh=mesh, termination=args.term, l2_only=args.l2_only)
+        mesh=mesh, termination=args.term, head_term=args.head_term,
+        l2_only=args.l2_only, tail_complete=args.tail_complete)
     print(json.dumps(summary, indent=2))
 
 

@@ -107,7 +107,8 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                   auto_budget: bool = True, bake_heads: bool = False,
                   termination: bool = True, head_term: bool = True,
                   dispatch_group: int = 4, l2_only: bool = True,
-                  head_tail_eps: float = 2e-3, tail_complete: bool = True):
+                  head_tail_eps: float = 2e-3,
+                  tail_complete: bool | None = None):
     """Chunked full-pass render of a frame list -> per-frame map dicts.
 
     Builds the fused dense grids once (parameters are fixed at inference) so
@@ -122,13 +123,21 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     (single-chip path only) — identical numerics, fewer host round trips.
     """
     fused = _build_render_grids(params, mcfg, rcfg, state_r) if use_fused else None
-    if tail_complete and rcfg.head_topk is not None:
-        # top-k tail completion (production default since round 4):
-        # renormalizes rgb/instance maps by the exact above-threshold mass
-        # the top-k cut dropped — a no-op on sharp fields, and on fuzzy
-        # trained fields it collapses the truncation error that previously
-        # failed the k=24 PQ gate (RenderConfig.head_tail_complete)
-        rcfg = dataclasses.replace(rcfg, head_tail_complete=True)
+    if tail_complete is None:
+        # production default since round 4: completion ON wherever top-k
+        # head compaction is active. NOTE for pre-r4 callers: this flips the
+        # RenderConfig default (False) — pass tail_complete=False to restore
+        # the unrenormalized top-k maps (advisor r4: the old bool kwarg
+        # silently overrode an explicit rcfg; None now means "apply the
+        # production default", an explicit bool is always honored).
+        tail_complete = rcfg.head_topk is not None
+    if rcfg.head_topk is not None and tail_complete != rcfg.head_tail_complete:
+        # top-k tail completion: renormalizes rgb/instance maps by the exact
+        # above-threshold mass the top-k cut dropped — a no-op on sharp
+        # fields, and on fuzzy trained fields it collapses the truncation
+        # error that previously failed the k=24 PQ gate
+        # (RenderConfig.head_tail_complete)
+        rcfg = dataclasses.replace(rcfg, head_tail_complete=tail_complete)
     if (l2_only and fused is not None and rcfg.sub_stride is not None
             and fused.coarse_occ_tight is not None):
         # L2-only selection (production default since round 4): the flat
@@ -267,7 +276,21 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                 f"these frames")
     if head_tails:
         worst_k = float(jnp.max(jnp.stack(head_tails)))
-        if worst_k > rcfg.raymarch_weight_thres * 2:
+        if rcfg.head_term_first > 0:
+            # with two-phase heads active, head_tail carries the max DROPPED
+            # MASS over pass-A non-survivors, which calibration only bounds
+            # by head_tail_eps — gate the warning on that bound, not the
+            # raw-weight threshold (advisor r4: the 2*thres gate fired
+            # spuriously on every head_term render)
+            if worst_k > max(2 * rcfg.raymarch_weight_thres, head_tail_eps):
+                import warnings
+                warnings.warn(
+                    f"two-phase head dropped-mass bound exceeded: a pass-A "
+                    f"non-survivor ray drops compositing mass {worst_k:.3g} "
+                    f"(calibrated bound {head_tail_eps:g}) — rendered views "
+                    f"exceed the calibration probe; re-probe with these "
+                    f"frames or raise head_term_fraction")
+        elif worst_k > rcfg.raymarch_weight_thres * 2:
             import warnings
             warnings.warn(
                 f"head_topk budget tight: the k-th kept compositing weight "
@@ -286,7 +309,8 @@ def render_checkpoint_outputs(
         cluster_size: int = 500, cached_centroids_path=None,
         chunk: int = 8192, save_visualizations: bool = True,
         mesh=None, termination: bool = True,
-        head_term: bool = True, l2_only: bool = True) -> dict:
+        head_term: bool = True, l2_only: bool = True,
+        tail_complete: bool | None = None) -> dict:
     """Full inference: render + cluster + write artifacts. Returns summary."""
     output_dir = Path(output_dir)
     for sub in ("vis_semantics_and_surrogate", "pred_semantics", "pred_surrogateid"):
@@ -297,7 +321,7 @@ def render_checkpoint_outputs(
     per_frame = render_frames(params, mcfg, rcfg, state_r, frames, chunk,
                               mesh=mesh, data_axis=cfg.data_axis,
                               termination=termination, head_term=head_term,
-                              l2_only=l2_only)
+                              l2_only=l2_only, tail_complete=tail_complete)
     t_render = time.time() - t_render0
 
     all_sem = [f["semantics"] for f in per_frame]

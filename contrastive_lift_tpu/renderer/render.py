@@ -763,6 +763,10 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
             # beyond the probe surfaces in head_tail at render time.
             k = min(out.head_topk, w2.shape[1])
             w_kp = np.asarray(jax.lax.top_k(w2, k)[0])  # [R, k] sorted desc
+            # below-threshold samples are zeroed by the head composite, so
+            # only above-threshold tail mass counts (matches the render-time
+            # drop_key masking in _heads_two_phase)
+            w_kp = np.where(w_kp > out.raymarch_weight_thres, w_kp, 0.0)
             tail_mass = np.cumsum(w_kp[:, ::-1], axis=1)[:, ::-1]
             best_h = None
             for kA in (4, 6, 8, 12, 16):
@@ -912,7 +916,12 @@ def _heads_two_phase(params, mcfg, rcfg: RenderConfig, fused, rays, xyz_k,
     kA = rcfg.head_term_first
     k2A = min(kA, k2)
     n_s = max(1, min(R, int(round(R * rcfg.head_term_fraction))))
-    drop_key = jnp.sum(w_k[:, kA:], axis=1)
+    # mask the tail with app_mask: below-threshold weights are zeroed by the
+    # head blocks anyway, so survivor selection and the reported head_tail
+    # count only mass the composite would actually add back (advisor r4 —
+    # unmasked dust wasted survivor slots and overstated the dropped mass)
+    drop_key = jnp.sum(w_k[:, kA:] * app_mask[:, kA:].astype(w_k.dtype),
+                       axis=1)
     order = jnp.argsort(drop_key)
     surv = order[R - n_s:]
     if n_s < R:
