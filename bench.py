@@ -285,7 +285,11 @@ def _calibrated(mcfg, rcfg, state_r, rays, fused, regime: str, fp_extra: dict,
     import os
 
     from contrastive_lift_tpu.renderer import render as R
-    fp = {"regime": regime, "n_samples": int(rcfg.n_samples),
+    # calib_v: bump when calibrate_budgets' ALGORITHM changes (the other
+    # fields fingerprint its inputs, not its code) — v2 = masked head_term
+    # tail mass (advisor r4)
+    fp = {"calib_v": 2,
+          "regime": regime, "n_samples": int(rcfg.n_samples),
           "coarse_stride": rcfg.coarse_stride, "sub_stride": rcfg.sub_stride,
           "pre_max_segments": int(rcfg.max_segments),
           "pre_max_subsegments": int(rcfg.max_subsegments),
@@ -543,6 +547,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                              head_term, k2, head_tail_eps)
     gc.collect()  # the 192^3 render tables are locals of _measure_render
     t1 = _time.monotonic() - t_start
+    result["analytic_wall_s"] = round(t1, 1)
 
     def _guard(sig, frm):  # later-phase hang: flush what we have and exit
         result.setdefault("guard_fired", "later_phase_timeout")
@@ -564,12 +569,15 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         # structure), hence the 0.9*t1 gate.
         if _time.monotonic() - t_start + 0.9 * t1 < soft_budget:
             try:
+                t2_start = _time.monotonic()
                 tr = _measure_render(chunk, use_l1, pack, termination, group,
                                      sub_stride, coarse_stride,
                                      DEFAULT_TRAINED_CKPT, tail_eps,
                                      head_term, k2,
                                      trained_hterm_eps if trained_hterm_eps
                                      is not None else head_tail_eps)
+                result["trained_wall_s"] = round(
+                    _time.monotonic() - t2_start, 1)
                 result["trained_field_rays_per_sec"] = tr["value"]
                 result["trained_vs_baseline"] = tr["vs_baseline"]
                 result["trained_budget_tail"] = tr["budget_tail"]

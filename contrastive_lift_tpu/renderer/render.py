@@ -1294,6 +1294,14 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     flat = xyz_n.reshape(-1, 3)
     app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
 
+    # head MLPs honor head_dtype (Config.precision) in the aux passes too —
+    # this phase is MLP-bound and the v5e MXU is bf16-native; the composite's
+    # weight multiply promotes back to f32, so the loss reduction over
+    # samples stays fp32 (same mixed-precision contract as the main phase,
+    # render_rays:1059)
+    compute_dtype = (jnp.bfloat16 if rcfg.head_dtype == "bfloat16"
+                     else jnp.float32)
+
     distilled_for_heads = None
     if mcfg.use_distilled:
         distilled = tf.render_distilled(params, mcfg, flat)
@@ -1301,7 +1309,8 @@ def render_instance_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         distilled_for_heads = (jax.lax.stop_gradient(distilled)
                                if rcfg.feature_stop_grad else distilled)
 
-    instances = tf.render_instances(params, mcfg, flat, distilled_for_heads)
+    instances = tf.render_instances(params, mcfg, flat, distilled_for_heads,
+                                    compute_dtype)
     instances = jnp.where(app_mask, instances, 0.0).reshape(R, S, -1)
     instance_map = composite(weight, instances)
 
@@ -1329,6 +1338,10 @@ def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     flat = xyz_n.reshape(-1, 3)
     app_mask = (weight > rcfg.raymarch_weight_thres).reshape(-1, 1)
 
+    # bf16 MLP compute under Config.precision (see render_instance_features)
+    compute_dtype = (jnp.bfloat16 if rcfg.head_dtype == "bfloat16"
+                     else jnp.float32)
+
     distilled_for_heads = None
     if mcfg.use_distilled:
         distilled = tf.render_distilled(params, mcfg, flat)
@@ -1336,7 +1349,8 @@ def render_segment_features(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
         distilled_for_heads = (jax.lax.stop_gradient(distilled)
                                if rcfg.feature_stop_grad else distilled)
 
-    segments = tf.render_semantics(params, mcfg, flat, distilled_for_heads)
+    segments = tf.render_semantics(params, mcfg, flat, distilled_for_heads,
+                                   compute_dtype)
     segments = jnp.where(app_mask, segments, 0.0).reshape(R, S, -1)
     segment_map = composite(weight, segments)
     segment_map = _semantic_map_postprocess(rcfg, segment_map)

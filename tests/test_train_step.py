@@ -324,3 +324,44 @@ def test_auto_topk_calibration_contract(tmp_path):
     t._calibrate_aux_topk(gates2, 3)  # same stage -> cached jit reused
     assert t._count_fn is fn_first
     assert t.rng.bit_generator.state == rng_before
+
+
+def test_aux_passes_honor_bf16_head_dtype(small_cfg, scene):
+    """The stop-grad aux passes (segment/instance) run their MLPs in
+    head_dtype (Config.precision) with an fp32 composite — bf16 output must
+    track fp32 within mixed-precision tolerance and actually compute in
+    bf16 (the phase is MLP-bound on TPU; VERDICT r4 #6)."""
+    import dataclasses
+
+    from contrastive_lift_tpu.renderer import render as R
+
+    cfg = small_cfg
+    mcfg, params, rcfg, state_r, _ = _setup(cfg, scene)
+    # carve a non-trivial field: a random-init density renders empty maps
+    # (constant after the log-softmax postprocess), which would make the
+    # bf16-vs-f32 comparison vacuously equal
+    params = dict(params)
+    params["density"] = jax.tree.map(lambda x: jnp.abs(x) * 40.0,
+                                     params["density"])
+    rng = np.random.default_rng(0)
+    seg = SegmentBundleSampler(scene.train_frames, cfg.max_rays_segments)
+    batch = seg.sample(rng, cfg.batch_size_segments)
+    rays = jnp.asarray(batch["rays"][:64])
+
+    out_f32 = R.render_segment_features(params, mcfg, rcfg, state_r, rays,
+                                        is_train=False)
+    rcfg_bf = dataclasses.replace(rcfg, head_dtype="bfloat16")
+    out_bf = R.render_segment_features(params, mcfg, rcfg_bf, state_r, rays,
+                                       is_train=False)
+    assert out_bf.dtype == jnp.float32  # fp32 loss reduction preserved
+    assert not np.allclose(np.asarray(out_f32), np.asarray(out_bf))  # bf16 ran
+    np.testing.assert_allclose(np.asarray(out_f32), np.asarray(out_bf),
+                               atol=3e-2)
+
+    inst_f32, _ = R.render_instance_features(params, mcfg, rcfg, state_r,
+                                             rays, is_train=False)
+    inst_bf, _ = R.render_instance_features(params, mcfg, rcfg_bf, state_r,
+                                            rays, is_train=False)
+    assert inst_bf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(inst_f32), np.asarray(inst_bf),
+                               atol=3e-2)
