@@ -339,7 +339,7 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     sub_stride: int = 8, coarse_stride: int = 16,
                     ckpt: str = None, tail_eps: float = 0.0,
                     head_term: bool = False, k2: int = 12,
-                    head_tail_eps: float = 2e-3) -> dict:
+                    head_tail_eps: float = 2e-3, k: int = 24) -> dict:
     import os
 
     import jax
@@ -369,7 +369,7 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         cfg = e2e_config()
         params, mcfg, rcfg, state_r, meta = load_model_for_inference(
             ckpt, cfg, scene.num_semantic_classes, step_ratio=0.25,
-            head_topk=24)
+            head_topk=k)
         # the TRAINED regime benches at k=24/k2 with TAIL COMPLETION
         # (RenderConfig.head_tail_complete) — the PQ^scene gate PASSES there
         # (artifacts/e2e_r4_tpu/FIDELITY_PQ_bench_point.json: |delta PQ
@@ -522,7 +522,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          coarse_stride: int = 16, ckpt: str = None, tail_eps: float = 0.0,
          train_metric: bool = True, head_term: bool = False,
          trained_metric: bool = True, k2: int = 12,
-         head_tail_eps: float = 2e-3, trained_hterm_eps: float = None):
+         head_tail_eps: float = 2e-3, trained_hterm_eps: float = None,
+         trained_k: int = 24):
     import gc
     import os
     import signal
@@ -544,7 +545,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
 
     result = _measure_render(chunk, use_l1, pack, termination, group,
                              sub_stride, coarse_stride, ckpt, tail_eps,
-                             head_term, k2, head_tail_eps)
+                             head_term, k2, head_tail_eps, k=trained_k)
     gc.collect()  # the 192^3 render tables are locals of _measure_render
     t1 = _time.monotonic() - t_start
     result["analytic_wall_s"] = round(t1, 1)
@@ -575,7 +576,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                                      DEFAULT_TRAINED_CKPT, tail_eps,
                                      head_term, k2,
                                      trained_hterm_eps if trained_hterm_eps
-                                     is not None else head_tail_eps)
+                                     is not None else head_tail_eps,
+                                     k=trained_k)
                 result["trained_wall_s"] = round(
                     _time.monotonic() - t2_start, 1)
                 result["trained_field_rays_per_sec"] = tr["value"]
@@ -660,6 +662,12 @@ if __name__ == "__main__":
         if "--trained-hterm-eps" in sys.argv:
             thte_arg = float(
                 sys.argv[sys.argv.index("--trained-hterm-eps") + 1])
+        # TRAINED-regime appearance head top-k (the analytic regime stays at
+        # its fidelity-proven k=24). Candidate values must pass
+        # tools/pq_fidelity_gate.py --head_topk <k> first (completion on).
+        tk_arg = 24
+        if "--trained-k" in sys.argv:
+            tk_arg = int(sys.argv[sys.argv.index("--trained-k") + 1])
         # round-4 adopted defaults (PERFORMANCE.md "Round-4 on-chip A/B"):
         # two-phase termination ON (+8.6%), grouped dispatch 4, head_term
         # calibration ON (fires only where the probe proves >=15% head
@@ -674,4 +682,5 @@ if __name__ == "__main__":
              train_metric="--no-train-metric" not in sys.argv,
              head_term="--no-hterm" not in sys.argv,
              trained_metric="--no-trained-metric" not in sys.argv,
-             k2=k2_arg, head_tail_eps=hte_arg, trained_hterm_eps=thte_arg)
+             k2=k2_arg, head_tail_eps=hte_arg, trained_hterm_eps=thte_arg,
+             trained_k=tk_arg)

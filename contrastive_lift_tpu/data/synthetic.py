@@ -45,12 +45,17 @@ def _look_at(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
     return c2w
 
 
-def _render_analytic(rays_o, rays_d, centers, radii, colors, classes):
+def _render_analytic(rays_o, rays_d, centers, radii, colors, classes,
+                     checker_freq: float = 40.0):
     """Nearest hit per ray against spheres + the floor plane.
 
     Returns (rgb, semantics, instances(1-based), depth, valid_mask): floor =
     class 0 / instance 0; rays missing everything inside the AABB are invalid
-    (masked out of supervision, GT = white).
+    (masked out of supervision, GT = white). ``checker_freq`` sets the
+    positional-texture frequency: 40 (default) aliases at 48x64 render
+    resolution — intentional view-memorization pressure for tiny train runs —
+    while reference-scale e2e fixtures pass a lower frequency so the texture
+    stays resolvable and raw PQ^scene is non-zero (VERDICT r4 #5).
     """
     n = rays_o.shape[0]
     # floor plane z = FLOOR_Z (valid while the hit stays inside the AABB)
@@ -79,9 +84,10 @@ def _render_analytic(rays_o, rays_d, centers, radii, colors, classes):
     light = np.array([0.3, -0.5, 0.8])
     light = light / np.linalg.norm(light)
     # high-frequency positional texture (see module docstring)
-    checker = (0.75 + 0.25 * np.sign(np.sin(pts[:, 0] * 40)
-                                     * np.sin(pts[:, 1] * 40)
-                                     * np.sin((pts[:, 2] + 0.03) * 40))
+    f = checker_freq
+    checker = (0.75 + 0.25 * np.sign(np.sin(pts[:, 0] * f)
+                                     * np.sin(pts[:, 1] * f)
+                                     * np.sin((pts[:, 2] + 0.03) * f))
                ).astype(np.float32)
     base = 0.35 + 0.25 * (pts / AABB_HALF + 1.0) / 2.0
     rgb = base.astype(np.float32)
@@ -105,7 +111,8 @@ def _render_analytic(rays_o, rays_d, centers, radii, colors, classes):
 def make_synthetic_scene(num_spheres: int = 5, num_train: int = 12,
                          num_val: int = 4, image_dim=(48, 64),
                          num_thing_classes: int = 2, seed: int = 0,
-                         consistent_labels: bool = False) -> SceneData:
+                         consistent_labels: bool = False,
+                         checker_freq: float = 40.0) -> SceneData:
     """Build a full SceneData with all three supervision streams derivable."""
     rng = np.random.default_rng(seed)
     h, w = image_dim
@@ -134,7 +141,8 @@ def make_synthetic_scene(num_spheres: int = 5, num_train: int = 12,
         dirs = np.asarray(geo.ray_directions_from_intrinsics(h, w, intr))
         rays = np.asarray(geo.make_ray_bundle(dirs, c2w))
         rgb, sem, inst, depth, valid = _render_analytic(
-            rays[:, 0:3], rays[:, 3:6], centers, radii, colors, classes)
+            rays[:, 0:3], rays[:, 3:6], centers, radii, colors, classes,
+            checker_freq)
         # frame-inconsistent machine labels: permute instance ids per frame
         if consistent_labels:
             noisy_inst = inst

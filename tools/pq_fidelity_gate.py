@@ -33,11 +33,12 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def e2e_scene(image_dim=(48, 64), num_train=24):
+def e2e_scene(image_dim=(48, 64), num_train=24, checker_freq=40.0):
     from contrastive_lift_tpu.data.synthetic import make_synthetic_scene
     return make_synthetic_scene(num_spheres=5, num_train=num_train, num_val=4,
                                 image_dim=tuple(image_dim),
-                                num_thing_classes=1, seed=7)
+                                num_thing_classes=1, seed=7,
+                                checker_freq=checker_freq)
 
 
 def e2e_config(image_dim=(48, 64), max_grid=128, epochs=10):
@@ -165,6 +166,9 @@ def main():
     ap.add_argument("--bandwidth", type=float, default=0.15)
     ap.add_argument("--image_dim", type=int, nargs=2, default=[48, 64])
     ap.add_argument("--num_train", type=int, default=24)
+    ap.add_argument("--checker_freq", type=float, default=40.0,
+                    help="must match the training run's fixture "
+                         "(run_reference_scale_e2e.py --checker_freq)")
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--gate", type=float, default=0.005,
                     help="max |PQ(fast) - PQ(dense)| (BASELINE.json: 0.5 pt)")
@@ -183,7 +187,8 @@ def main():
 
     from contrastive_lift_tpu.inference.render import load_model_for_inference
 
-    scene = e2e_scene(tuple(args.image_dim), args.num_train)
+    scene = e2e_scene(tuple(args.image_dim), args.num_train,
+                      args.checker_freq)
     cfg = e2e_config(tuple(args.image_dim), epochs=args.epochs)
     params, mcfg, rcfg, state_r, meta = load_model_for_inference(
         args.ckpt, cfg, scene.num_semantic_classes, step_ratio=0.25,

@@ -41,6 +41,12 @@ def main():
     parser.add_argument("--max_grid", type=int, default=128,
                         help="final grid resolution (192 = the bench.py "
                              "inference operating point)")
+    parser.add_argument("--checker_freq", type=float, default=40.0,
+                        help="synthetic texture frequency; 40 aliases at the "
+                             "48x64 default (semantics plateau, raw "
+                             "pq_scene = 0) — pass ~18 with --image_dim "
+                             "64 96 for a fixture whose raw PQ^scene is "
+                             "non-zero (VERDICT r4 #5)")
     args = parser.parse_args()
 
     from contrastive_lift_tpu.config import Config
@@ -53,7 +59,8 @@ def main():
 
     scene = make_synthetic_scene(num_spheres=5, num_train=args.num_train,
                                  num_val=4, image_dim=tuple(args.image_dim),
-                                 num_thing_classes=1, seed=7)
+                                 num_thing_classes=1, seed=7,
+                                 checker_freq=args.checker_freq)
     cfg = Config(
         # flagship model (configs/contrastive_lift.yaml)
         instance_loss_mode="slow_fast", use_DINO_style=True, use_proj=False,
