@@ -31,8 +31,9 @@ def make_bench_point(grid=192, chunk=8192, classes=21):
                  instance_loss_mode="slow_fast", use_DINO_style=True,
                  chunk=chunk, seed=0, precision="bf16").resolve_epochs()
     mcfg, params, rcfg, state_r = build_model(cfg, classes, step_ratio=0.25)
-    rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=12,
-                               head_dtype="bfloat16",
+    # k2=8 + tail completion = the round-4-adopted / round-5 bench defaults
+    rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=8,
+                               head_dtype="bfloat16", head_tail_complete=True,
                                coarse_stride=16, max_segments=32,
                                sub_stride=8, max_subsegments=48)
     lin = jnp.linspace(-1, 1, grid)
@@ -125,12 +126,29 @@ def main():
                                          atlas_dtype=jnp.bfloat16)
     prod_noterm = dataclasses.replace(prod, term_first=0)
     prod_k16 = dataclasses.replace(prod, head_topk=16, head_topk_semins=8)
+    prod_k12 = dataclasses.replace(prod, head_topk=12, head_topk_semins=8)
+    # bounded-tail calibration (tail_eps): per-ray PROVEN residual bound
+    # sizes the sub budget / termination depth tighter than the eps heuristic
+    prod_te = R.calibrate_budgets(
+        mcfg, R.occ_grouping_for(dataclasses.replace(rcfg0, use_l1=False),
+                                 state_r),
+        state_r, rays, fused, termination=True, head_term=True, tail_eps=2e-3)
+    print(json.dumps({"prod_te_budgets": [prod_te.max_segments,
+                                          prod_te.max_subsegments,
+                                          prod_te.max_subsegments_light,
+                                          prod_te.term_first,
+                                          round(prod_te.term_fraction, 3),
+                                          prod_te.head_term_first,
+                                          round(prod_te.head_term_fraction,
+                                                3)]}), flush=True)
 
     # -- full pass variants -------------------------------------------------
     for name, rc, fu in [("prod_full", prod, fused),
+                         ("prod_full_taileps", prod_te, fused),
                          ("prod_full_bf16atlas", prod, fused_bf16atlas),
                          ("prod_full_noterm", prod_noterm, fused),
                          ("prod_full_k16", prod_k16, fused),
+                         ("prod_full_k12", prod_k12, fused),
                          ("full_grouped_baked", cal, baked),
                          ("full_grouped_exactheads", cal, fused),
                          ("full_ungrouped_exactheads", ungrouped, fused),
