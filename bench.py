@@ -82,6 +82,10 @@ def _honor_platform_env():
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # CPU-forced smoke runs skip the cache: CPU compiles are seconds, and
+    # XLA:CPU AOT cache loads emit noisy machine-feature-mismatch warnings
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
     if not os.environ.get("BENCH_NO_COMPILE_CACHE"):
         import pathlib
         cache = pathlib.Path(__file__).resolve().parent / XLA_CACHE_DIR
@@ -163,6 +167,12 @@ def bench_train():
         # (this bench's random-init field is nearly empty, so calibrating
         # in-bench would pick an unrepresentatively small k)
         ("all+topk64", all_gates, {"head_topk": 64}),
+        # phase-attribution rows at the SAME topk64 operating point as the
+        # recorded full-step metric: the deltas main -> +instance -> +segment
+        # locate the wall (r5: the segment stream's 2M-sample MLP chain)
+        ("main+topk64", TrainGates(semantics_on=True), {"head_topk": 64}),
+        ("main+instance+topk64",
+         TrainGates(semantics_on=True, instances_on=True), {"head_topk": 64}),
     ]
     params_host = jax.tree.map(np.asarray, params)  # train steps donate state
     for name, gates, mods in phases:

@@ -339,6 +339,26 @@ def _occ_alpha_test(mcfg, rcfg: RenderConfig, state: RenderState, raw_up):
     return alpha_up > rcfg.occ_alpha_thres
 
 
+def _first_k_set(mask: jnp.ndarray, k: int):
+    """Per-row indices of the first ``k`` True entries, in order.
+
+    mask [R, C] -> (idx [R, k] int32 clamped to C-1, valid [R, k] bool).
+    Equivalent to the previous ``lax.top_k`` over descending-position scores
+    (ESS candidates are time-ordered, so "k highest scores" = "first k set
+    bits, nearest-first") but WITHOUT the [R, C] sort: rank-select via a
+    cumsum and a comparison-reduce, O(C*k) fused VPU work. The sort was the
+    single largest block of the production selection stage (profiled r5:
+    prod_select_l2flat 5.3 ms of a 17.2 ms full pass at 8192 rays).
+    """
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1)            # [R, C]
+    targets = jnp.arange(1, k + 1, dtype=pos.dtype)             # [k]
+    # idx of the j-th set bit = #candidates whose running rank is < j
+    idx = jnp.sum((pos[:, :, None] < targets[None, None, :]).astype(jnp.int32),
+                  axis=1)                                       # [R, k]
+    valid = targets[None, :] <= pos[:, -1:]
+    return jnp.minimum(idx, mask.shape[1] - 1).astype(jnp.int32), valid
+
+
 def _select_segments(mcfg, rcfg: RenderConfig, state: RenderState,
                      rays_o, rays_d, t_min, fused: FusedGrids):
     """Level 1: coarse-segment midpoints vs the block-dilated occupancy.
@@ -368,10 +388,10 @@ def _select_segments(mcfg, rcfg: RenderConfig, state: RenderState,
     else:
         raw_up = sample_coarse_occ(fused, xyz_cn.reshape(-1, 3)).reshape(R, S_cp)
         occupied = _occ_alpha_test(mcfg, rcfg, state, raw_up)
-    # nearest occupied segments first; top_k of descending score = ascending t
-    score = occupied.astype(jnp.float32) * (S_c - jnp.arange(S_c, dtype=jnp.float32))
-    top_scores, seg_idx = jax.lax.top_k(score, k_seg)       # [R, k_seg]
-    return seg_idx, top_scores > 0
+    # nearest occupied segments first (candidates ascend in t, so rank-select
+    # replaces the descending-score top_k sort — see _first_k_set)
+    seg_idx, seg_valid = _first_k_set(occupied, k_seg)      # [R, k_seg]
+    return seg_idx, seg_valid
 
 
 def _select_subsegments(mcfg, rcfg: RenderConfig, state: RenderState,
@@ -435,13 +455,11 @@ def _select_subsegments(mcfg, rcfg: RenderConfig, state: RenderState,
                 & jnp.repeat(seg_valid, n_sub, axis=1)
                 & (sub_steps < S))
     # candidates are already time-ordered (segments ascend in t, subs
-    # ascend within a segment), so rank = position
-    score2 = occ2.astype(jnp.float32) * (cand - jnp.arange(cand, dtype=jnp.float32))
+    # ascend within a segment), so the k nearest occupied = the first k set
+    # bits — rank-select, no sort (see _first_k_set)
     k_sub = min(rcfg.max_subsegments, cand)
-    top2, sub_idx = jax.lax.top_k(score2, k_sub)        # [R, k_sub]
-    sub_valid = top2 > 0
-    sub_start = jnp.take_along_axis(
-        sub_steps - 0.5 * sub, sub_idx.astype(jnp.int32), axis=1)
+    sub_idx, sub_valid = _first_k_set(occ2, k_sub)      # [R, k_sub]
+    sub_start = jnp.take_along_axis(sub_steps - 0.5 * sub, sub_idx, axis=1)
     offs = jnp.arange(sub, dtype=jnp.float32)
     fine_steps = sub_start[..., None] + offs[None, None, :]
     sample_valid = (fine_steps < S) & sub_valid[..., None]

@@ -30,6 +30,11 @@ def main():
                     help="npz cache of the dense-reference probe maps")
     ap.add_argument("--r4", action="store_true",
                     help="round-4 adjudication subset (k2 cuts, bf16 atlas)")
+    ap.add_argument("--r5", action="store_true",
+                    help="round-5 head_topk shrink subset (k 24->8 under "
+                         "tail completion), measured at the PRODUCTION "
+                         "calibration (termination + head_term) so the "
+                         "fidelity numbers are the shipped point's")
     ap.add_argument("--ref-only", action="store_true",
                     help="build + cache the dense fp32 reference, then exit. "
                          "Run under JAX_PLATFORMS=cpu: the axon process "
@@ -112,17 +117,25 @@ def main():
         # a third of the head block each) and the bf16 atlas, vs prod
         candidates = [candidates[0], candidates[7], candidates[8],
                       candidates[9], candidates[10]]
+    if args.r5:
+        # round-5: tail completion made small k fidelity-true on the trained
+        # field (tools/pq_fidelity_gate.py passes down to k=8); adjudicate
+        # the ANALYTIC regime's k at the production point (profiler: k=24 ->
+        # 12 is -17% full-pass wall)
+        candidates = [{"occ": 1e-5, "k": k, "k2": 8} for k in (24, 16, 12, 8)]
     for c in candidates:
         rcfg = dataclasses.replace(rcfg0, occ_alpha_thres=c["occ"],
                                    head_topk=c["k"], head_topk_semins=c["k2"],
-                                   sub_stride=c.get("sub", rcfg0.sub_stride))
+                                   sub_stride=c.get("sub", rcfg0.sub_stride),
+                                   use_l1=not args.r5)
         fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
                                    feature_dtype=jnp.bfloat16,
                                    dense_override=dense,
                                    atlas_dtype=jnp.dtype(
                                        c.get("atlas", "float32")))
         rcfg = R.occ_grouping_for(rcfg, state_r)
-        rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused)
+        rcfg = R.calibrate_budgets(mcfg, rcfg, state_r, rays, fused,
+                                   termination=args.r5, head_term=args.r5)
         fn = jax.jit(lambda p, f, r, rc=rcfg: R.render_rays(
             p, mcfg, rc, state_r, r, None, False, fused=f))
         out = fn(params, fused, rays)
