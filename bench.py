@@ -553,6 +553,25 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     t_start = _time.monotonic()
     soft_budget = float(os.environ.get("BENCH_TIME_BUDGET", 600.0))
 
+    # EARLY guard — armed before the first jax op. When the axon tunnel is
+    # down, backend init blocks the process indefinitely (CLAUDE.md), which
+    # would leave the driver artifact EMPTY. A diagnosable error line beats
+    # silence; cleared the moment phase 1 returns.
+    def _early_guard(sig, frm):
+        print(json.dumps({
+            "metric": "render_rays_per_sec_per_chip", "value": 0.0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "error": "backend_init_or_compile_timeout",
+            "detail": "no phase completed within 1.5x BENCH_TIME_BUDGET; "
+                      "remote-TPU tunnel likely down (axon backend init "
+                      "blocks the first jax op indefinitely)",
+            "bench_wall_s": round(_time.monotonic() - t_start, 1),
+        }), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _early_guard)
+    signal.alarm(int(soft_budget * 1.5))
+
     result = _measure_render(chunk, use_l1, pack, termination, group,
                              sub_stride, coarse_stride, ckpt, tail_eps,
                              head_term, k2, head_tail_eps, k=trained_k)
