@@ -71,7 +71,15 @@ def main():
             head_topk_semins=None, head_dtype="float32")
         # build the f32 tables on CPU (the densify peak exceeds chip HBM),
         # then ship the ~1.2 GB result to the device
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        try:
+            cpu_dev = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            raise SystemExit(
+                f"no CPU backend in this process and no reference cache at "
+                f"{ref_cache}; run `JAX_PLATFORMS=cpu python "
+                f"tools/fidelity_sweep.py --ref-only` first (the axon "
+                f"process registers only the TPU backend)")
+        with jax.default_device(cpu_dev):
             fused_plain = build_render_grids(
                 params, mcfg, rcfg_dense, state_r, compact=True,
                 feature_dtype=jnp.float32,

@@ -47,6 +47,15 @@ def main():
                              "pq_scene = 0) — pass ~18 with --image_dim "
                              "64 96 for a fixture whose raw PQ^scene is "
                              "non-zero (VERDICT r4 #5)")
+    parser.add_argument("--dist_reg", type=float, default=0.005,
+                        help="lambda_dist_reg (reference default 0.005, "
+                             "panopli_paper.yaml:32, ramped per epoch). The "
+                             "r4/r5a runs trained with 0.0 and collapsed to a "
+                             "view-memorizing light field: floor depth wrong "
+                             "even on TRAIN views, floor semantics ~70%% "
+                             "wrong (appearance memorizes via viewdirs, "
+                             "semantics cannot) -> raw PQ^scene = 0 "
+                             "(tools/diag_valgap.py evidence)")
     args = parser.parse_args()
 
     from contrastive_lift_tpu.config import Config
@@ -83,7 +92,8 @@ def main():
         decay_step=[max(1, int(args.epochs * 0.6)),
                     max(2, int(args.epochs * 0.7))],
         save_every_n_train_steps=0, precision="bf16",
-        weight_class_0=1.0, lambda_semantics=1.0, lambda_dist_reg=0.0,
+        weight_class_0=1.0, lambda_semantics=1.0,
+        lambda_dist_reg=args.dist_reg,
     ).resolve_epochs()
 
     out_dir = args.out or tempfile.mkdtemp(prefix="refscale_")
