@@ -267,10 +267,13 @@ def _train_full_step_rate():
 
 
 # the committed reference-scale e2e checkpoint (tools/run_reference_scale_e2e
-# on chip, round 4); when present the driver line also records the
-# trained-field render rate so the recorded bench covers BOTH operating
-# regimes (VERDICT r3 #3: analytic-shell occupancy must not flatter ESS)
-DEFAULT_TRAINED_CKPT = "artifacts/e2e_r4_tpu/checkpoints/final.npz"
+# on chip, round 5: 64 train views at 64x96, checker_freq 18 — the first
+# committed field whose RAW PQ^scene is non-zero on both sides of the
+# fidelity gate, artifacts/e2e_r5b_tpu/FIDELITY_PQ_k*.json); when present
+# the driver line also records the trained-field render rate so the
+# recorded bench covers BOTH operating regimes (VERDICT r3 #3:
+# analytic-shell occupancy must not flatter ESS)
+DEFAULT_TRAINED_CKPT = "artifacts/e2e_r5b_tpu/checkpoints/final.npz"
 
 # pinned scene-calibration results (see _calibrated): calibrate_budgets is
 # deterministic given (field, probe rays, config), and its probe pass is one
@@ -533,7 +536,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          train_metric: bool = True, head_term: bool = False,
          trained_metric: bool = True, k2: int = 12,
          head_tail_eps: float = 2e-3, trained_hterm_eps: float = None,
-         trained_k: int = 24):
+         trained_k: int = 8):
     import gc
     import os
     import signal
@@ -691,10 +694,13 @@ if __name__ == "__main__":
         if "--trained-hterm-eps" in sys.argv:
             thte_arg = float(
                 sys.argv[sys.argv.index("--trained-hterm-eps") + 1])
-        # TRAINED-regime appearance head top-k (the analytic regime stays at
-        # its fidelity-proven k=24). Candidate values must pass
+        # appearance head top-k for BOTH regimes. Default 8 since round 5:
+        # smallest k passing the PQ gate on all three committed trained
+        # checkpoints AND the analytic --r5 fidelity sweep (rgb p99 0.0013,
+        # 0% argmax mismatch, +28% vs k=24) — PERFORMANCE.md "Round-5
+        # adjudication". Candidate values must pass
         # tools/pq_fidelity_gate.py --head_topk <k> first (completion on).
-        tk_arg = 24
+        tk_arg = 8
         if "--trained-k" in sys.argv:
             tk_arg = int(sys.argv[sys.argv.index("--trained-k") + 1])
         # round-4 adopted defaults (PERFORMANCE.md "Round-4 on-chip A/B"):

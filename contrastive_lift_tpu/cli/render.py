@@ -52,6 +52,12 @@ def main(argv=None):
                         "head_tail_complete; ON by default since round 4 "
                         "whenever head_topk is set) — restores the pre-r4 "
                         "exact-top-k render")
+    parser.add_argument("--head-topk", default="auto",
+                        help="per-ray head-evaluation budget: 'auto' (the "
+                        "round-5 gate-adopted k=8 with tail completion), an "
+                        "integer (e.g. 24 for tighter rgb at -22%% "
+                        "throughput, PERFORMANCE.md round-5 adjudication), "
+                        "or 'none' for dense head evaluation")
     parser.add_argument("--l1", dest="l2_only", action="store_false",
                         default=True,
                         help="restore the L1 segment cascade (default: "
@@ -68,8 +74,12 @@ def main(argv=None):
 
     scene = load_scene(cfg, load_train=False)
     frames = scene.val_frames
+    ht = args.head_topk
+    head_topk = ("auto" if ht == "auto"
+                 else None if ht in ("none", "0") else int(ht))
     params, mcfg, rcfg, state_r, meta = load_model_for_inference(
-        ckpt, cfg, scene.num_semantic_classes, white_bg=scene.white_bg)
+        ckpt, cfg, scene.num_semantic_classes, white_bg=scene.white_bg,
+        head_topk=head_topk)
 
     n_shards = (args.n_data_shards if args.n_data_shards is not None
                 else cfg.n_data_shards)

@@ -50,13 +50,20 @@ def load_model_for_inference(ckpt_path, cfg: Config, num_semantic_classes: int,
     rcfg = make_render_config(cfg, bbox_aabb, grid_dim, mcfg,
                               step_ratio=step_ratio, white_bg=white_bg)
     if head_topk == "auto":
-        # trained fields are surface-peaked: the top-64 samples per ray cover
-        # everything above raymarch_weight_thres (tests/test_topk_render.py),
-        # and head cost scales hard with k (k=24 -> 64 -> 128 measured 23.9
-        # -> 36.4 -> 56.6 ms/chunk on v5e). The head_tail guard in
-        # render_frames flags any ray whose k-th kept weight still clears
-        # the threshold, so under-budgeting cannot pass silently.
-        head_topk = min(64, max(16, rcfg.n_samples // 4))
+        # Round-5 adoption: with tail completion (the render_frames default
+        # since r4) k=8 passes the 0.5 pt PQ^scene gate on all three
+        # committed trained checkpoints AND holds analytic fidelity flat
+        # (rgb p99 0.0013, 0% argmax mismatch) at +28% throughput vs k=24 —
+        # see PERFORMANCE.md "Round-5 adjudication" and the committed
+        # artifacts/e2e_r5*/FIDELITY_PQ_k*.json. Head cost scales hard with
+        # k (k=8/24/64 -> ~3/7/36 ms/chunk on v5e), so auto resolves to the
+        # smallest gate-passing k. Callers who explicitly pass
+        # tail_complete=False to render_frames should also pick their own k
+        # (the pre-r5 rule was min(64, max(16, n_samples // 4)) — top-64
+        # covers everything above raymarch_weight_thres on surface-peaked
+        # fields, tests/test_topk_render.py); the head_tail warning in
+        # render_frames fires if k=8 under-budgets an uncompleted render.
+        head_topk = 8
     if head_topk:
         import dataclasses
         rcfg = dataclasses.replace(rcfg, head_topk=int(head_topk))
