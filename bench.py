@@ -425,7 +425,10 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         num_classes = 21
         mcfg, params, rcfg, state_r = build_model(
             cfg, num_classes, step_ratio=0.25)  # inference: 2x samples
-        rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=k2,
+        # k: appearance head top-k — same adoption story as the trained
+        # regime (round 5: k=8 holds analytic fidelity flat under tail
+        # completion, ANALYTIC_FIDELITY_SWEEP_k.jsonl; 617k vs 481k rays/s)
+        rcfg = dataclasses.replace(rcfg, head_topk=k, head_topk_semins=k2,
                                    head_dtype="bfloat16",
                                    head_tail_complete=True,
                                    coarse_stride=coarse_stride,
