@@ -311,6 +311,11 @@ def _calibrated(mcfg, rcfg, state_r, rays, fused, regime: str, fp_extra: dict,
           "tail_eps": float(tail_eps), "head_term": bool(head_term),
           "head_tail_eps": float(head_tail_eps),
           "chunk": int(rays.shape[0])}
+    if getattr(rcfg, "head_select", "sort") == "rank":
+        # only fingerprinted for "rank" (the one mode whose head_term
+        # calibration differs — "iter" is an exact top-k implementation
+        # swap) so the committed default pins stay valid
+        fp["head_select"] = "rank"
     fp.update(fp_extra)
     # key by regime + fingerprint hash so off-default runs (smoke grids,
     # flag A/Bs) pin alongside the production entries instead of clobbering
@@ -352,7 +357,8 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     sub_stride: int = 8, coarse_stride: int = 16,
                     ckpt: str = None, tail_eps: float = 0.0,
                     head_term: bool = False, k2: int = 12,
-                    head_tail_eps: float = 2e-3, k: int = 24) -> dict:
+                    head_tail_eps: float = 2e-3, k: int = 24,
+                    head_select: str = "sort") -> dict:
     import os
 
     import jax
@@ -463,6 +469,12 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     if not use_l1:
         # A/B: L2-only flat grouped-bit selection (RenderConfig.use_l1)
         rcfg = dataclasses.replace(rcfg, use_l1=False)
+    if head_select != "sort":
+        # A/B: head selection mode (RenderConfig.head_select; bench
+        # `--head-select iter|rank`): "iter" = exact top-k via argmax
+        # passes (no [R,S] sort), "rank" = nearest-k above threshold. Set
+        # BEFORE calibration so the head_term split mirrors the selection.
+        rcfg = dataclasses.replace(rcfg, head_select=head_select)
     # scene-adaptive segment budgets, exactly as inference/render.py does:
     # size max_segments/max_subsegments at the 99.9th-percentile occupied
     # counts of a ray probe (kills budget truncation on dense scenes, speeds
@@ -539,7 +551,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          train_metric: bool = True, head_term: bool = False,
          trained_metric: bool = True, k2: int = 12,
          head_tail_eps: float = 2e-3, trained_hterm_eps: float = None,
-         trained_k: int = 8):
+         trained_k: int = 8, head_select: str = "sort"):
     import gc
     import os
     import signal
@@ -580,7 +592,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
 
     result = _measure_render(chunk, use_l1, pack, termination, group,
                              sub_stride, coarse_stride, ckpt, tail_eps,
-                             head_term, k2, head_tail_eps, k=trained_k)
+                             head_term, k2, head_tail_eps, k=trained_k,
+                             head_select=head_select)
     gc.collect()  # the 192^3 render tables are locals of _measure_render
     t1 = _time.monotonic() - t_start
     result["analytic_wall_s"] = round(t1, 1)
@@ -612,7 +625,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                                      head_term, k2,
                                      trained_hterm_eps if trained_hterm_eps
                                      is not None else head_tail_eps,
-                                     k=trained_k)
+                                     k=trained_k, head_select=head_select)
                 result["trained_wall_s"] = round(
                     _time.monotonic() - t2_start, 1)
                 result["trained_field_rays_per_sec"] = tr["value"]
@@ -721,4 +734,9 @@ if __name__ == "__main__":
              head_term="--no-hterm" not in sys.argv,
              trained_metric="--no-trained-metric" not in sys.argv,
              k2=k2_arg, head_tail_eps=hte_arg, trained_hterm_eps=thte_arg,
-             trained_k=tk_arg)
+             trained_k=tk_arg,
+             # A/B: head selection mode in both regimes ("iter" = exact
+             # top-k via argmax passes, "rank" = nearest-k above threshold)
+             # — adoption waits on the chip A/B (+ PQ gate for "rank")
+             head_select=(sys.argv[sys.argv.index("--head-select") + 1]
+                          if "--head-select" in sys.argv else "sort"))

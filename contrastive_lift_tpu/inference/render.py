@@ -283,20 +283,40 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
                 f"these frames")
     if head_tails:
         worst_k = float(jnp.max(jnp.stack(head_tails)))
-        if rcfg.head_term_first > 0:
-            # with two-phase heads active, head_tail carries the max DROPPED
-            # MASS over pass-A non-survivors, which calibration only bounds
-            # by head_tail_eps — gate the warning on that bound, not the
-            # raw-weight threshold (advisor r4: the 2*thres gate fired
+        if rcfg.head_topk is not None and rcfg.head_tail_complete:
+            # tail completion renormalizes the dropped above-threshold mass
+            # back into the maps, so a non-trivial head_tail is EXPECTED at
+            # the adopted small-k point (analytic k=8: 0.075) and fidelity
+            # is adjudicated by the PQ gate / fidelity sweep, not by this
+            # heuristic — the residual error after completion is bounded by
+            # the dropped mass times the WITHIN-surface value spread. Warn
+            # only on an extreme tail that says this field/k pair sits far
+            # outside anything the gates checked.
+            if worst_k > 0.25:
+                import warnings
+                warnings.warn(
+                    f"head compaction tail is extreme: head_tail {worst_k:.3g} "
+                    f"(k-th kept weight, or dropped mass under rank-select/"
+                    f"two-phase heads) at head_topk={rcfg.head_topk} — tail "
+                    f"completion renormalizes it, but this operating point "
+                    f"is far outside the gate-adjudicated regime; re-run "
+                    f"tools/pq_fidelity_gate.py at this k or raise head_topk")
+        elif (rcfg.head_term_first > 0
+              or getattr(rcfg, "head_select", "sort") == "rank"):
+            # with two-phase heads (or rank-select compaction) active,
+            # head_tail carries a DROPPED-MASS bound, which calibration only
+            # bounds by head_tail_eps — gate the warning on that bound, not
+            # the raw-weight threshold (advisor r4: the 2*thres gate fired
             # spuriously on every head_term render)
             if worst_k > max(2 * rcfg.raymarch_weight_thres, head_tail_eps):
                 import warnings
                 warnings.warn(
-                    f"two-phase head dropped-mass bound exceeded: a pass-A "
-                    f"non-survivor ray drops compositing mass {worst_k:.3g} "
+                    f"head dropped-mass bound exceeded: a ray drops "
+                    f"compositing mass {worst_k:.3g} "
                     f"(calibrated bound {head_tail_eps:g}) — rendered views "
                     f"exceed the calibration probe; re-probe with these "
-                    f"frames or raise head_term_fraction")
+                    f"frames, raise head_term_fraction/head_topk, or enable "
+                    f"tail completion")
         elif worst_k > rcfg.raymarch_weight_thres * 2:
             import warnings
             warnings.warn(

@@ -160,6 +160,31 @@ class RenderConfig:
     # trying on fields whose run counts sit far below k. None = per-sample
     # gathers (default). Requires head_topk.
     head_dedup_cells: Optional[int] = None
+    # how the k head samples are picked per ray (the [R, S] weight sort was
+    # a measurable block once everything else shrank — the same lesson as
+    # the round-5 ESS rank-select):
+    #  * "sort": lax.top_k — the k heaviest samples, XLA lowers to a full
+    #    [R, S] sort.
+    #  * "iter": EXACT top-k via k argmax+mask passes (lax.scan) — the same
+    #    set, order, and tie-breaking (lowest index first) as lax.top_k but
+    #    O(S*k) VPU reduces instead of the sort; a pure implementation swap
+    #    with no fidelity contract change, worthwhile when k is small.
+    #  * "rank": the k NEAREST above-threshold samples (first k set bits of
+    #    weight > raymarch_weight_thres via _first_k_set). Whenever <= k
+    #    samples clear the threshold this keeps the IDENTICAL set as top-k
+    #    (below-threshold entries are masked to zero in every head
+    #    composite); beyond that it keeps the nearest mass instead of the
+    #    heaviest — on sharp trained fields those coincide, but on THICK
+    #    fields the nearest above-threshold samples can be rising-edge dust
+    #    while the real surface mass sits deeper (measured: dropped-mass
+    #    0.998 on the smoke shell field), so "rank" must be adjudicated by
+    #    the PQ gate per field class. head_tail under "rank" reports the max
+    #    per-ray DROPPED above-threshold MASS (the completion residual
+    #    bound) instead of the k-th kept weight; "rank" falls back to "sort"
+    #    in semantic_weight_mode "argmax", whose one-hot pick needs the
+    #    globally heaviest sample. All modes apply to the inference head
+    #    compaction and the train-side _aux_topk alike.
+    head_select: str = "sort"
 
     def __post_init__(self):
         if self.head_topk_semins is not None and self.head_topk is None:
@@ -187,6 +212,10 @@ class RenderConfig:
             raise ValueError(
                 "head_term_first splits the top-k head sample budget; "
                 "set head_topk too (same contract as head_topk_semins)")
+        if self.head_select not in ("sort", "iter", "rank"):
+            raise ValueError(
+                f"head_select must be 'sort', 'iter', or 'rank', got "
+                f"{self.head_select!r}")
 
 
 class RenderState(NamedTuple):
@@ -459,7 +488,16 @@ def _select_subsegments(mcfg, rcfg: RenderConfig, state: RenderState,
     # bits — rank-select, no sort (see _first_k_set)
     k_sub = min(rcfg.max_subsegments, cand)
     sub_idx, sub_valid = _first_k_set(occ2, k_sub)      # [R, k_sub]
-    sub_start = jnp.take_along_axis(sub_steps - 0.5 * sub, sub_idx, axis=1)
+    if seg_idx is None:
+        # L2-flat: candidate j starts at step j*sub — pure index arithmetic.
+        # A take_along_axis here lowers to one scalar TPU gather per (ray,
+        # slot) = ~230k gathers ≈ 2.4 ms/chunk at the production point
+        # (measured, /tmp-microbench round 5) — HALF the selection stage —
+        # for values that are a multiply away.
+        sub_start = sub_idx.astype(jnp.float32) * sub
+    else:
+        sub_start = jnp.take_along_axis(sub_steps - 0.5 * sub, sub_idx,
+                                        axis=1)
     offs = jnp.arange(sub, dtype=jnp.float32)
     fine_steps = sub_start[..., None] + offs[None, None, :]
     sample_valid = (fine_steps < S) & sub_valid[..., None]
@@ -780,11 +818,24 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
             # the same 1.5x + 1/64 drift margin as termination; drift
             # beyond the probe surfaces in head_tail at render time.
             k = min(out.head_topk, w2.shape[1])
-            w_kp = np.asarray(jax.lax.top_k(w2, k)[0])  # [R, k] sorted desc
-            # below-threshold samples are zeroed by the head composite, so
-            # only above-threshold tail mass counts (matches the render-time
-            # drop_key masking in _heads_two_phase)
-            w_kp = np.where(w_kp > out.raymarch_weight_thres, w_kp, 0.0)
+            if _head_select_mode(out) == "rank":
+                # mirror the render-time selection: the kA-prefix/tail split
+                # happens over the k NEAREST above-threshold samples, so the
+                # calibration must rank tail mass in time order, not weight
+                # order (a heavy far sample lands in the rank-select tail)
+                wp = np.asarray(w2)
+                m = wp > out.raymarch_weight_thres
+                rank = np.cumsum(m, axis=1) - 1
+                sel = m & (rank < k)
+                w_kp = np.zeros((wp.shape[0], k), wp.dtype)
+                rr, cc = np.nonzero(sel)
+                w_kp[rr, rank[rr, cc]] = wp[rr, cc]
+            else:
+                w_kp = np.asarray(jax.lax.top_k(w2, k)[0])  # [R,k] desc
+                # below-threshold samples are zeroed by the head composite,
+                # so only above-threshold tail mass counts (matches the
+                # render-time drop_key masking in _heads_two_phase)
+                w_kp = np.where(w_kp > out.raymarch_weight_thres, w_kp, 0.0)
             tail_mass = np.cumsum(w_kp[:, ::-1], axis=1)[:, ::-1]
             best_h = None
             for kA in (4, 6, 8, 12, 16):
@@ -898,6 +949,58 @@ def _tail_ratio(m_full, m_kept):
     same weights), so the ratio is >= 1; it exceeds 1 only by the
     above-threshold mass the head compaction dropped."""
     return jnp.where(m_kept > 1e-12, m_full / jnp.maximum(m_kept, 1e-12), 1.0)
+
+
+def _head_select_mode(rcfg) -> str:
+    """Resolved head selection mode (see RenderConfig.head_select): "rank"
+    falls back to "sort" in argmax weight mode, which needs the globally
+    heaviest sample in the kept set."""
+    mode = getattr(rcfg, "head_select", "sort")
+    if mode == "rank" and rcfg.semantic_weight_mode == "argmax":
+        return "sort"
+    return mode
+
+
+def _topk_iter(weight: jnp.ndarray, k: int):
+    """Exact top-k over axis 1 without the [R, S] sort: k argmax+mask passes
+    under lax.scan — O(S*k) VPU reduces. Same values, descending order, and
+    tie-breaking (lowest index first) as lax.top_k."""
+    S = weight.shape[1]
+    neg = jnp.finfo(weight.dtype).min
+    cols = jnp.arange(S, dtype=jnp.int32)
+
+    def body(w, _):
+        i = jnp.argmax(w, axis=1).astype(jnp.int32)               # [R]
+        v = jnp.take_along_axis(w, i[:, None], axis=1)[:, 0]
+        w = jnp.where(cols[None, :] == i[:, None], neg, w)
+        return w, (v, i)
+
+    _, (vals, idxs) = jax.lax.scan(body, weight, None, length=k)
+    return vals.T, idxs.T                                         # [R, k]
+
+
+def _head_select(rcfg, weight, k):
+    """Pick the k head samples per ray: (w_k [R,k], idx [R,k], head_tail).
+
+    "sort"/"iter" modes: the k heaviest (sorted desc); head_tail = max k-th
+    kept weight (should sit below raymarch_weight_thres when compaction is
+    exact). "rank" mode: the k NEAREST above-threshold samples, no sort;
+    invalid slots carry weight 0 (below threshold, so every downstream
+    app_mask/composite treats them as dead); head_tail = max per-ray dropped
+    above-threshold MASS (the completion residual bound)."""
+    mode = _head_select_mode(rcfg)
+    if mode == "rank":
+        live = weight > rcfg.raymarch_weight_thres
+        idx, valid = _first_k_set(live, k)
+        w_k = jnp.where(valid, jnp.take_along_axis(weight, idx, axis=1), 0.0)
+        m_above = jnp.sum(weight * live, -1)
+        head_tail = jnp.max(m_above - jnp.sum(w_k, -1))
+        return w_k, idx, head_tail
+    if mode == "iter":
+        w_k, idx = _topk_iter(weight, k)
+    else:
+        w_k, idx = jax.lax.top_k(weight, k)
+    return w_k, idx, jnp.max(w_k[:, -1])
 
 
 def _head_weights(rcfg, weight):
@@ -1081,17 +1184,18 @@ def render_rays(params, mcfg: tf.TensoRFConfig, rcfg: RenderConfig,
     dedup = None  # (uid, slot_k, xyz_k) when unique-cell dedup is active
     if rcfg.head_topk is not None and rcfg.head_topk < S:
         k = rcfg.head_topk
-        w_k, idx = jax.lax.top_k(weight, k)                       # [R, k]
-        # top-k guardrail: the k-th kept weight should sit below the
-        # raymarch threshold (then the compaction is exact); otherwise some
-        # above-threshold sample was dropped — surfaced like budget_tail
-        head_tail = jnp.max(w_k[:, -1])
+        # guardrail semantics per mode — see _head_select: k-th kept weight
+        # (top_k) or dropped above-threshold mass (rank-select); both surface
+        # under-budgeted compaction like budget_tail
+        w_k, idx, head_tail = _head_select(rcfg, weight, k)       # [R, k]
         xyz_k = jnp.take_along_axis(xyz_n, idx[..., None], axis=1)
         head_weight = w_k
         flat = xyz_k.reshape(-1, 3)
         Sh = k
-        # smaller budget for the flop-heavy sem/ins MLPs: the top-k columns
-        # are weight-sorted, so the first k2 ARE the top-k2 samples
+        # smaller budget for the flop-heavy sem/ins MLPs: a k2-prefix of the
+        # k columns applies the SAME selection rule at the smaller budget
+        # (weight-sorted -> the top-k2 samples; rank-select -> the nearest
+        # k2 above threshold)
         k2 = Sh if rcfg.head_topk_semins is None else min(rcfg.head_topk_semins, Sh)
         flat2 = xyz_k[:, :k2].reshape(-1, 3)
         if (rcfg.head_dedup_cells is not None and fused is not None
@@ -1257,7 +1361,18 @@ def _aux_topk(rcfg: RenderConfig, weight, xyz_n, z_vals, live=None):
         # losses) must not trip the guardrail
         over = over & live
     tail = jnp.mean(over.astype(jnp.float32))
-    w_k, idx = jax.lax.top_k(weight, k)
+    mode = _head_select_mode(rcfg)
+    if mode == "rank":
+        # nearest-k above-threshold, no sort (RenderConfig.head_select):
+        # identical kept set whenever count <= k — exactly the regime the
+        # auto-calibration + ``tail`` guardrail maintain — since the aux
+        # composites mask below-threshold samples to zero anyway
+        idx, valid = _first_k_set(weight > rcfg.raymarch_weight_thres, k)
+        w_k = jnp.where(valid, jnp.take_along_axis(weight, idx, axis=1), 0.0)
+    elif mode == "iter":
+        w_k, idx = _topk_iter(weight, k)
+    else:
+        w_k, idx = jax.lax.top_k(weight, k)
     xyz_k = jnp.take_along_axis(xyz_n, idx[..., None], axis=1)
     z_k = jnp.take_along_axis(z_vals, idx, axis=1)
     return w_k, xyz_k, z_k, tail

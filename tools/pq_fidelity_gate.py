@@ -178,6 +178,12 @@ def main():
                          "the exact configuration the headline rays/s uses")
     ap.add_argument("--k2", type=int, default=None,
                     help="head_topk_semins override (requires --head_topk)")
+    ap.add_argument("--head_select", default="sort",
+                    choices=("sort", "iter", "rank"),
+                    help="head selection mode to gate (RenderConfig."
+                         "head_select; 'rank' = nearest-k above threshold "
+                         "needs per-field adjudication, 'iter' is an exact "
+                         "top-k implementation swap)")
     ap.add_argument("--head_tail_eps", type=float, default=2e-3,
                     help="per-ray dropped-mass bound the two-phase head "
                          "calibration may accept (calibrate_budgets "
@@ -199,6 +205,9 @@ def main():
         import dataclasses as _dc
         rcfg = _dc.replace(rcfg, head_dtype="bfloat16",
                            head_topk_semins=args.k2)
+    if args.head_select != "sort":
+        import dataclasses as _dc
+        rcfg = _dc.replace(rcfg, head_select=args.head_select)
     result = run_gate(params, mcfg, rcfg, state_r, scene, cfg.max_instances,
                       bandwidth=args.bandwidth, gate=args.gate,
                       chunk=cfg.chunk, head_tail_eps=args.head_tail_eps)
@@ -206,6 +215,7 @@ def main():
               "head_topk": rcfg.head_topk,
               "head_topk_semins": rcfg.head_topk_semins,
               "head_dtype": rcfg.head_dtype,
+              "head_select": rcfg.head_select,
               "head_tail_eps": args.head_tail_eps, **result}
     line = json.dumps(result)
     print(line, flush=True)

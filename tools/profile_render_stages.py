@@ -31,8 +31,10 @@ def make_bench_point(grid=192, chunk=8192, classes=21):
                  instance_loss_mode="slow_fast", use_DINO_style=True,
                  chunk=chunk, seed=0, precision="bf16").resolve_epochs()
     mcfg, params, rcfg, state_r = build_model(cfg, classes, step_ratio=0.25)
-    # k2=8 + tail completion = the round-4-adopted / round-5 bench defaults
-    rcfg = dataclasses.replace(rcfg, head_topk=24, head_topk_semins=8,
+    # k=8/k2=8 + tail completion = the round-5-adopted bench defaults
+    # (PERFORMANCE.md "Round-5 adjudication"); the k16/k24 variants below
+    # re-profile the superseded points
+    rcfg = dataclasses.replace(rcfg, head_topk=8, head_topk_semins=8,
                                head_dtype="bfloat16", head_tail_complete=True,
                                coarse_stride=16, max_segments=32,
                                sub_stride=8, max_subsegments=48)
@@ -126,7 +128,13 @@ def main():
                                          atlas_dtype=jnp.bfloat16)
     prod_noterm = dataclasses.replace(prod, term_first=0)
     prod_k16 = dataclasses.replace(prod, head_topk=16, head_topk_semins=8)
-    prod_k12 = dataclasses.replace(prod, head_topk=12, head_topk_semins=8)
+    prod_k24 = dataclasses.replace(prod, head_topk=24, head_topk_semins=8)
+    # head selection mode A/B (RenderConfig.head_select): "iter" = exact
+    # top-k via argmax passes (no [R,S] sort — a pure implementation swap),
+    # "rank" = nearest-k above threshold (field-dependent fidelity, needs
+    # the PQ gate; here it times the selection cost)
+    prod_iter = dataclasses.replace(prod, head_select="iter")
+    prod_rank = dataclasses.replace(prod, head_select="rank")
     # bounded-tail calibration (tail_eps): per-ray PROVEN residual bound
     # sizes the sub budget / termination depth tighter than the eps heuristic
     prod_te = R.calibrate_budgets(
@@ -148,7 +156,9 @@ def main():
                          ("prod_full_bf16atlas", prod, fused_bf16atlas),
                          ("prod_full_noterm", prod_noterm, fused),
                          ("prod_full_k16", prod_k16, fused),
-                         ("prod_full_k12", prod_k12, fused),
+                         ("prod_full_k24", prod_k24, fused),
+                         ("prod_full_iterheads", prod_iter, fused),
+                         ("prod_full_rankheads", prod_rank, fused),
                          ("full_grouped_baked", cal, baked),
                          ("full_grouped_exactheads", cal, fused),
                          ("full_ungrouped_exactheads", ungrouped, fused),
