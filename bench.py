@@ -358,7 +358,8 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     ckpt: str = None, tail_eps: float = 0.0,
                     head_term: bool = False, k2: int = 12,
                     head_tail_eps: float = 2e-3, k: int = 24,
-                    head_select: str = "sort") -> dict:
+                    head_select: str = "sort",
+                    fine_span: int = 0) -> dict:
     import os
 
     import jax
@@ -475,6 +476,12 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         # passes (no [R,S] sort), "rank" = nearest-k above threshold. Set
         # BEFORE calibration so the head_term split mirrors the selection.
         rcfg = dataclasses.replace(rcfg, head_select=head_select)
+    if fine_span:
+        # A/B: span gathers (`--fine-span 4`) — fine_span_rows atlas rows
+        # per sub-segment instead of one per sample; an exact implementation
+        # swap (validated below), so calibration pins are unchanged
+        rcfg = dataclasses.replace(rcfg, fine_span_rows=fine_span)
+        R.validate_fine_span(rcfg, state_r)
     # scene-adaptive segment budgets, exactly as inference/render.py does:
     # size max_segments/max_subsegments at the 99.9th-percentile occupied
     # counts of a ray probe (kills budget truncation on dense scenes, speeds
@@ -551,7 +558,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          train_metric: bool = True, head_term: bool = False,
          trained_metric: bool = True, k2: int = 12,
          head_tail_eps: float = 2e-3, trained_hterm_eps: float = None,
-         trained_k: int = 8, head_select: str = "sort"):
+         trained_k: int = 8, head_select: str = "sort",
+         fine_span: int = 0):
     import gc
     import os
     import signal
@@ -593,7 +601,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     result = _measure_render(chunk, use_l1, pack, termination, group,
                              sub_stride, coarse_stride, ckpt, tail_eps,
                              head_term, k2, head_tail_eps, k=trained_k,
-                             head_select=head_select)
+                             head_select=head_select, fine_span=fine_span)
     gc.collect()  # the 192^3 render tables are locals of _measure_render
     t1 = _time.monotonic() - t_start
     result["analytic_wall_s"] = round(t1, 1)
@@ -625,7 +633,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                                      head_term, k2,
                                      trained_hterm_eps if trained_hterm_eps
                                      is not None else head_tail_eps,
-                                     k=trained_k, head_select=head_select)
+                                     k=trained_k, head_select=head_select,
+                                     fine_span=fine_span)
                 result["trained_wall_s"] = round(
                     _time.monotonic() - t2_start, 1)
                 result["trained_field_rays_per_sec"] = tr["value"]
@@ -739,4 +748,8 @@ if __name__ == "__main__":
              # top-k via argmax passes, "rank" = nearest-k above threshold)
              # — adoption waits on the chip A/B (+ PQ gate for "rank")
              head_select=(sys.argv[sys.argv.index("--head-select") + 1]
-                          if "--head-select" in sys.argv else "sort"))
+                          if "--head-select" in sys.argv else "sort"),
+             # A/B: span gathers (RenderConfig.fine_span_rows) — exact
+             # implementation swap, validated host-side before tracing
+             fine_span=(int(sys.argv[sys.argv.index("--fine-span") + 1])
+                        if "--fine-span" in sys.argv else 0))

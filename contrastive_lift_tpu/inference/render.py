@@ -174,6 +174,9 @@ def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],
     if bake_heads and fused is not None and fused.compact_cells is not None:
         from ..renderer.bake import bake_head_tables
         fused = bake_head_tables(params, mcfg, fused)
+    # span-gather exactness contract (RenderConfig.fine_span_rows) — checked
+    # once on concrete state before any trace; no-op when span is off
+    R.validate_fine_span(rcfg, state_r)
     fn = _jitted_render(mcfg, rcfg)
     if mesh is not None:
         from ..parallel import mesh as pmesh

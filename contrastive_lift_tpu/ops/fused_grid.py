@@ -501,6 +501,39 @@ def brick_atlas_dims(grid_dim) -> Tuple[int, int, int]:
     return tuple(-(-(int(g) - 1) // 4) for g in grid_dim)
 
 
+def _brick_coords(fused: "FusedGrids", xyz: jnp.ndarray):
+    """[..., 3] coords in [-1,1] -> (brickflat [...], frac [..., 3]): the
+    flat brick-atlas row of each sample's cell and the sample's position
+    inside the brick's 5^3 corner lattice (hat-weight argument)."""
+    gx, gy, gz = fused.grid_dim
+    by = -(-(gy - 1) // 4)
+    bz = -(-(gz - 1) // 4)
+    g = jnp.asarray((gx, gy, gz), jnp.float32)
+    p = (xyz + 1.0) * 0.5 * (g - 1.0)
+    cell = jnp.clip(jnp.floor(p), 0.0, g - 2.0).astype(jnp.int32)
+    brick = cell // 4
+    brickflat = (brick[..., 0] * by + brick[..., 1]) * bz + brick[..., 2]
+    frac = p - 4.0 * brick.astype(jnp.float32)
+    return brickflat, frac
+
+
+def _hat_weights(frac: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] in-brick positions -> [..., 128] trilinear hat weights over
+    the 5^3 corner lattice (lane a*25+b*5+c; 3 dead pad lanes get weight 0).
+
+    Per-LANE constants (iota decode) against [..., 1] broadcasts — XLA fuses
+    this with the row gather and the reduction into one pass."""
+    lane = jnp.arange(128)
+    a = (lane // 25).astype(jnp.float32)
+    b = ((lane // 5) % 5).astype(jnp.float32)
+    c = (lane % 5).astype(jnp.float32)
+    shape = (1,) * (frac.ndim - 1) + (128,)
+    a, b, c = (x.reshape(shape) for x in (a, b, c))
+    return (jnp.maximum(0.0, 1.0 - jnp.abs(frac[..., 0:1] - a))
+            * jnp.maximum(0.0, 1.0 - jnp.abs(frac[..., 1:2] - b))
+            * jnp.maximum(0.0, 1.0 - jnp.abs(frac[..., 2:3] - c)))
+
+
 def sample_density_brick(fused: FusedGrids, xyz: jnp.ndarray,
                          splus_shift: float) -> jnp.ndarray:
     """Pre-activation density + shift at [P,3] coords in [-1,1] via one
@@ -514,24 +547,73 @@ def sample_density_brick(fused: FusedGrids, xyz: jnp.ndarray,
     ~34 ms for the [P,5]-outer-product formulation (materialized [P,125]
     intermediates) and ~31 ms for gather + a Pallas reduction kernel
     (ops/pallas_interp.py, kept as the measured-slower alternative)."""
-    gx, gy, gz = fused.grid_dim
-    by = -(-(gy - 1) // 4)
-    bz = -(-(gz - 1) // 4)
-    g = jnp.asarray((gx, gy, gz), jnp.float32)
-    p = (xyz + 1.0) * 0.5 * (g - 1.0)
-    cell = jnp.clip(jnp.floor(p), 0.0, g - 2.0).astype(jnp.int32)
-    brick = cell // 4
-    brickflat = (brick[:, 0] * by + brick[:, 1]) * bz + brick[:, 2]
+    brickflat, frac = _brick_coords(fused, xyz)
     rows = jnp.take(fused.brick_atlas, brickflat, axis=0)
-    frac = p - 4.0 * brick.astype(jnp.float32)
-    lane = jnp.arange(128)
-    a = (lane // 25).astype(jnp.float32)[None, :]
-    b = ((lane // 5) % 5).astype(jnp.float32)[None, :]
-    c = (lane % 5).astype(jnp.float32)[None, :]
-    w = (jnp.maximum(0.0, 1.0 - jnp.abs(frac[:, 0:1] - a))
-         * jnp.maximum(0.0, 1.0 - jnp.abs(frac[:, 1:2] - b))
-         * jnp.maximum(0.0, 1.0 - jnp.abs(frac[:, 2:3] - c)))
+    w = _hat_weights(frac)
     return jnp.sum(rows.astype(jnp.float32) * w, axis=1) + splus_shift
+
+
+def span_rows_required(state_units, step_size: float,
+                       span_len: int) -> int:
+    """Worst-case distinct bricks visited by ``span_len`` consecutive ray
+    samples spaced ``step_size`` (world units): 1 + per-axis brick-boundary
+    crossings, assuming |d_a| = 1 in every axis simultaneously (conservative
+    — a unit direction cannot, so this upper-bounds the true maximum).
+
+    ``state_units``: per-axis world size of one voxel ((aabb1-aabb0)/(g-1)).
+    All arguments host-concrete — call before tracing to validate
+    ``RenderConfig.fine_span_rows`` (see sample_density_brick_span)."""
+    import numpy as _np
+    units = _np.asarray(state_units, dtype=_np.float64)
+    span_vox = float(step_size) * max(span_len - 1, 0) / units
+    return 1 + int(_np.sum(_np.floor(span_vox / 4.0) + 1))
+
+
+def sample_density_brick_span(fused: FusedGrids, xyz: jnp.ndarray,
+                              splus_shift: float,
+                              rows_per_span: int) -> jnp.ndarray:
+    """Pre-activation density + shift at [R, K, T, 3] coords in [-1,1] where
+    the T samples of each (ray, span) are CONSECUTIVE along the ray —
+    ``rows_per_span`` brick-atlas gathers per span instead of T.
+
+    Along a straight line each axis's brick index is monotone, so the spans'
+    samples visit a staircase of at most 1 + (#boundary crossings) distinct
+    bricks; at the production spacing (sub_stride 8 samples at step_ratio
+    0.25 => 1.75-voxel span per axis vs 4-voxel bricks) that is <= 4, vs 8
+    per-sample gathers. Each sample indexes its run (cumsum of brick
+    transitions, clamped to rows_per_span-1) and the interp selects among
+    the gathered rows with a W-way masked accumulate that XLA fuses with the
+    hat reduction — row values and hat weights are bit-identical to
+    sample_density_brick, so the result is too (adding exact zeros).
+
+    EXACTNESS CONTRACT: requires the true per-span transition count to fit
+    in rows_per_span - 1; callers must validate with span_rows_required
+    (render.validate_fine_span does) — the clamp would otherwise silently
+    evaluate tail samples in a wrong (earlier) brick. Gather traffic: the
+    random row-gather rate depends on ROW COUNT (PERFORMANCE.md), so
+    K*rows_per_span rows/ray vs K*T is the whole win."""
+    R, K, T, _ = xyz.shape
+    W = rows_per_span
+    brickflat, frac = _brick_coords(fused, xyz)               # [R,K,T](,3)
+    tr = brickflat[..., 1:] != brickflat[..., :-1]            # [R,K,T-1]
+    run = jnp.cumsum(tr.astype(jnp.int32), axis=-1)
+    run = jnp.pad(run, ((0, 0), (0, 0), (1, 0)))              # [R,K,T]
+    run = jnp.minimum(run, W - 1)
+    eq = run[..., None] == jnp.arange(W, dtype=jnp.int32)     # [R,K,T,W]
+    # run r's brick id: all samples in a run share it, so any masked reduce
+    # works; empty runs (fewer transitions than W-1) fall back to row 0 of
+    # the atlas, which no sample indexes
+    rowbrick = jnp.max(jnp.where(eq, brickflat[..., None], -1), axis=2)
+    rows = jnp.take(fused.brick_atlas, jnp.maximum(rowbrick, 0).reshape(-1),
+                    axis=0).reshape(R, K, W, 128).astype(jnp.float32)
+    # W-way masked row select (adding exact zeros), then ONE hat reduce —
+    # W+1 fused passes over [R,K,T,128] instead of W multiply-reduces
+    sel = jnp.zeros((R, K, T, 128), jnp.float32)
+    for r in range(W):
+        sel = sel + jnp.where(eq[..., r, None], rows[:, :, r][:, :, None, :],
+                              0.0)
+    w = _hat_weights(frac)                                    # [R,K,T,128]
+    return jnp.sum(sel * w, axis=-1) + splus_shift
 
 
 def build_compact_tables(fused: FusedGrids, occ_raw_thres: float,

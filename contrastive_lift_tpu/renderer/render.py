@@ -27,9 +27,10 @@ from ..models import tensorf as tf
 from ..ops.compositing import composite, distortion_loss, raw_to_alpha
 from ..ops.fused_grid import (FusedGrids, head_dedup_slots,
                               sample_coarse_occ, sample_density_brick,
-                              sample_density_fused, sample_feature_dedup,
-                              sample_feature_fused, sample_occ_bits_grouped,
-                              sample_occ_grouped)
+                              sample_density_brick_span, sample_density_fused,
+                              sample_feature_dedup, sample_feature_fused,
+                              sample_occ_bits_grouped, sample_occ_grouped,
+                              span_rows_required)
 
 
 @dataclass(frozen=True)
@@ -185,6 +186,15 @@ class RenderConfig:
     #    globally heaviest sample. All modes apply to the inference head
     #    compaction and the train-side _aux_topk alike.
     head_select: str = "sort"
+    # fine-pass brick-atlas gather granularity: None = one atlas-row gather
+    # per fine sample (default); an int W = W gathers per SUB-SEGMENT shared
+    # by its sub_stride consecutive samples (their bricks form a monotone
+    # staircase along the ray — see ops.fused_grid.sample_density_brick_span).
+    # EXACT only when every span's brick-transition count fits in W-1:
+    # callers must check validate_fine_span(rcfg, state) (render_frames and
+    # calibrate_budgets do). W=4 covers any span shorter than 4 voxels per
+    # axis (production: 8 samples x 0.25 voxel = 1.75).
+    fine_span_rows: Optional[int] = None
 
     def __post_init__(self):
         if self.head_topk_semins is not None and self.head_topk is None:
@@ -216,6 +226,10 @@ class RenderConfig:
             raise ValueError(
                 f"head_select must be 'sort', 'iter', or 'rank', got "
                 f"{self.head_select!r}")
+        if self.fine_span_rows is not None and self.fine_span_rows < 2:
+            raise ValueError(
+                "fine_span_rows must be >= 2 (1 row cannot cover a span "
+                "crossing any brick boundary); None disables span gathers")
 
 
 class RenderState(NamedTuple):
@@ -517,7 +531,16 @@ def _fine_density(mcfg, rcfg: RenderConfig, state: RenderState,
                      axis=-1) & valid
     xyz_n = normalize_coordinates(state, xyz)
 
-    if fused.brick_atlas is not None:
+    if fused.brick_atlas is not None and rcfg.fine_span_rows is not None:
+        # span gathers: fine_span_rows atlas rows per sub-segment instead of
+        # one per sample — exactness contract checked host-side by
+        # validate_fine_span (samples within a span are consecutive along
+        # the ray, which _select_subsegments/_two_level_density guarantee)
+        K, T = fine_steps.shape[1], fine_steps.shape[2]
+        raw = sample_density_brick_span(fused, xyz_n.reshape(R, K, T, 3),
+                                        mcfg.splus_density_shift,
+                                        rcfg.fine_span_rows).reshape(-1)
+    elif fused.brick_atlas is not None:
         raw = sample_density_brick(fused, xyz_n.reshape(-1, 3),
                                    mcfg.splus_density_shift)
     else:
@@ -531,6 +554,29 @@ def _fine_density(mcfg, rcfg: RenderConfig, state: RenderState,
     mids = z_vals + 0.5 * state.step_size
     alpha, weight, bg_weight = raw_to_alpha(sigma, dists * rcfg.distance_scale)
     return xyz_n, z_vals, in_box, dists, mids, alpha, weight, bg_weight
+
+
+def validate_fine_span(rcfg: RenderConfig, state: RenderState) -> None:
+    """Host-side exactness check for ``RenderConfig.fine_span_rows``: the
+    span-gather interp (ops.fused_grid.sample_density_brick_span) is exact
+    only when every span's brick-transition count fits in fine_span_rows-1;
+    span_rows_required upper-bounds it from the CONCRETE voxel size and step
+    (both in RenderState), so callers that build jitted renders — the
+    render_frames pipeline, calibrate_budgets, bench/profile harnesses —
+    call this once before tracing."""
+    if rcfg.fine_span_rows is None:
+        return
+    use_sub = rcfg.sub_stride is not None and rcfg.sub_stride < rcfg.coarse_stride
+    span_len = rcfg.sub_stride if use_sub else rcfg.coarse_stride
+    need = span_rows_required(np.asarray(state.units),
+                              float(state.step_size), int(span_len))
+    if need > rcfg.fine_span_rows:
+        raise ValueError(
+            f"fine_span_rows={rcfg.fine_span_rows} cannot cover the "
+            f"worst-case {need} distinct bricks of a {span_len}-sample span "
+            f"at this step size ({float(state.step_size):.4g} world units, "
+            f"voxels {np.asarray(state.units)}) — raise fine_span_rows to "
+            f"{need} or disable span gathers (None)")
 
 
 def _tail_weight(weight: jnp.ndarray, group: int) -> jnp.ndarray:
@@ -738,6 +784,7 @@ def calibrate_budgets(mcfg, rcfg: RenderConfig, state: RenderState,
     longer inflate the need), with the guarantee the hand-tuned fixed
     budgets lack (VERDICT r3 #6)."""
     from dataclasses import replace
+    validate_fine_span(rcfg, state)  # fail before the probe compiles
     if rcfg.coarse_stride is None or fused.coarse_occ is None:
         return rcfg
     probe = jnp.asarray(probe_rays, jnp.float32)

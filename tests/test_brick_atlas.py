@@ -636,3 +636,99 @@ def test_multibranch_render_matches_separate():
         np.testing.assert_allclose(np.asarray(out_mb[k]),
                                    np.asarray(out_sep[k]),
                                    rtol=1e-4, atol=2e-4, err_msg=k)
+
+
+def test_span_gather_matches_per_sample_unit():
+    """sample_density_brick_span == sample_density_brick on consecutive-
+    sample spans, byte-identical (the W-way masked select adds exact zeros),
+    including worst-case axis-diagonal directions and a coarse spacing that
+    needs more than 4 rows (W sized by span_rows_required)."""
+    mcfg, params, rcfg0, state_r = _model()
+    rng = np.random.default_rng(11)
+    dense = jnp.asarray(rng.normal(size=(33, 33, 33)).astype(np.float32))
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True, dense_override=dense)
+    g = 33
+    units = np.full(3, 2.0 / (g - 1), np.float64)   # normalized-space voxel
+    diag = np.float32(1.0 / np.sqrt(3.0))
+    for T, step_vox in ((8, 0.25), (8, 1.25), (16, 0.25)):
+        W = fg.span_rows_required(units, step_vox * units[0], T)
+        Rr, K = 16, 6
+        o = rng.uniform(-0.9, 0.4, (Rr, 3)).astype(np.float32)
+        d = rng.normal(size=(Rr, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d[:4] = diag                                  # worst-case diagonals
+        d[4:6] = np.array([[1, 0, 0], [0, diag * 0, 1]], np.float32)[:, :3]
+        start = rng.uniform(0.0, 2.0, (Rr, K, 1)).astype(np.float32)
+        t = (start + np.arange(T, dtype=np.float32)[None, None, :]
+             * step_vox) * units[0]
+        xyz = (o[:, None, None, :]
+               + d[:, None, None, :] * t[..., None]).astype(np.float32)
+        xyz = np.clip(xyz, -1.0, 1.0)
+        ref = fg.sample_density_brick(fused, jnp.asarray(xyz.reshape(-1, 3)),
+                                      mcfg.splus_density_shift)
+        got = fg.sample_density_brick_span(fused, jnp.asarray(xyz),
+                                           mcfg.splus_density_shift, W)
+        np.testing.assert_array_equal(np.asarray(got).reshape(-1),
+                                      np.asarray(ref),
+                                      err_msg=f"T={T} step={step_vox} W={W}")
+
+
+def test_span_gather_render_matches_per_sample():
+    """render_rays with fine_span_rows (span gathers in every fine pass:
+    two-phase termination A/B, heavy/light) is byte-identical to the
+    per-sample gather path on the full three-level production shape."""
+    mcfg, params, rcfg0, state_r = _model(grid=48)
+    lin = np.linspace(-1, 1, 48, dtype=np.float32)
+    shell = (np.abs(np.sqrt(lin[:, None, None]**2 + lin[None, :, None]**2
+                            + lin[None, None, :]**2) - 0.5) < 0.07)
+    dense = jnp.asarray(np.where(shell, 11.0, 0.0), jnp.float32)
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True, dense_override=dense)
+    rng = np.random.default_rng(7)
+    o = rng.uniform(-0.2, 0.2, (96, 3)).astype(np.float32)
+    d = rng.normal(size=(96, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((96, 1), 0.01, np.float32),
+         np.full((96, 1), 3.0, np.float32)], -1))
+    base = dataclasses.replace(rcfg0, coarse_stride=16, max_segments=12,
+                               sub_stride=8, max_subsegments=16, head_topk=8,
+                               head_tail_complete=True)
+    for extra in ({}, {"term_first": 6, "term_fraction": 0.5},
+                  {"max_subsegments_light": 8, "heavy_fraction": 0.25}):
+        a = dataclasses.replace(base, **extra)
+        b = dataclasses.replace(a, fine_span_rows=4)
+        R.validate_fine_span(b, state_r)              # contract holds here
+        out_a = R.render_rays(params, mcfg, a, state_r, rays, None, False,
+                              fused=fused)
+        out_b = R.render_rays(params, mcfg, b, state_r, rays, None, False,
+                              fused=fused)
+        for key in ("rgb", "semantics", "instances", "depth", "opacity",
+                    "budget_tail"):
+            np.testing.assert_array_equal(np.asarray(out_a[key]),
+                                          np.asarray(out_b[key]),
+                                          err_msg=f"{key} {extra}")
+
+
+def test_validate_fine_span_contract():
+    """validate_fine_span rejects a span-row budget below the worst-case
+    brick-transition count (silent clamping would be inexact) and accepts
+    the span_rows_required sizing; calibrate_budgets runs the check."""
+    mcfg, params, rcfg0, state_r = _model()
+    ok = dataclasses.replace(rcfg0, coarse_stride=16, sub_stride=8,
+                             max_segments=12, max_subsegments=16,
+                             fine_span_rows=4)
+    R.validate_fine_span(ok, state_r)                 # 0.25-voxel steps: 4 ok
+    bad = dataclasses.replace(ok, fine_span_rows=2)
+    with pytest.raises(ValueError, match="fine_span_rows"):
+        R.validate_fine_span(bad, state_r)
+    fused = fg.build_fused_grids(params, mcfg, with_occupancy=True,
+                                 with_atlas=True)
+    probe = jnp.asarray(np.concatenate(
+        [np.zeros((8, 3), np.float32),
+         np.tile(np.float32([1, 0, 0]), (8, 1)),
+         np.full((8, 1), 0.01, np.float32),
+         np.full((8, 1), 3.0, np.float32)], -1))
+    with pytest.raises(ValueError, match="fine_span_rows"):
+        R.calibrate_budgets(mcfg, bad, state_r, probe, fused)

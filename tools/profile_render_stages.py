@@ -135,6 +135,11 @@ def main():
     # the PQ gate; here it times the selection cost)
     prod_iter = dataclasses.replace(prod, head_select="iter")
     prod_rank = dataclasses.replace(prod, head_select="rank")
+    # span gathers (RenderConfig.fine_span_rows): 4 atlas rows per
+    # sub-segment instead of 8 per-sample rows — halves fine-pass gather
+    # traffic, exactness checked host-side (validate_fine_span)
+    prod_span = dataclasses.replace(prod, fine_span_rows=4)
+    R.validate_fine_span(prod_span, state_r)
     # bounded-tail calibration (tail_eps): per-ray PROVEN residual bound
     # sizes the sub budget / termination depth tighter than the eps heuristic
     prod_te = R.calibrate_budgets(
@@ -159,6 +164,7 @@ def main():
                          ("prod_full_k24", prod_k24, fused),
                          ("prod_full_iterheads", prod_iter, fused),
                          ("prod_full_rankheads", prod_rank, fused),
+                         ("prod_full_span", prod_span, fused),
                          ("full_grouped_baked", cal, baked),
                          ("full_grouped_exactheads", cal, fused),
                          ("full_ungrouped_exactheads", ungrouped, fused),
@@ -173,6 +179,7 @@ def main():
 
     # -- density/ESS stages -------------------------------------------------
     for name, rc, fu in [("prod_density", prod, fused),
+                         ("prod_density_span", prod_span, fused),
                          ("prod_density_bf16atlas", prod, fused_bf16atlas),
                          ("prod_density_noterm", prod_noterm, fused),
                          ("density_grouped", cal, fused),
