@@ -193,7 +193,10 @@ class RenderConfig:
     # EXACT only when every span's brick-transition count fits in W-1:
     # callers must check validate_fine_span(rcfg, state) (render_frames and
     # calibrate_budgets do). W=4 covers any span shorter than 4 voxels per
-    # axis (production: 8 samples x 0.25 voxel = 1.75).
+    # axis (production: 8 samples x 0.25 voxel = 1.75). Measured SLOWER on
+    # v5e at the production point (+2.3 ms: the W-way select breaks the
+    # gather-fused reduction, re-streaming the selected rows through HBM) —
+    # kept as a tested opt-in; see PERFORMANCE.md round-5 span adjudication.
     fine_span_rows: Optional[int] = None
 
     def __post_init__(self):
