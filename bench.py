@@ -359,7 +359,7 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                     head_term: bool = False, k2: int = 12,
                     head_tail_eps: float = 2e-3, k: int = 24,
                     head_select: str = "sort",
-                    fine_span: int = 0) -> dict:
+                    fine_span: int = 0, atlas_bf16: bool = False) -> dict:
     import os
 
     import jax
@@ -413,7 +413,9 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         rays_all = cam_rays[np.resize(sel, n_rays)]
         fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
                                    feature_dtype=jnp.bfloat16,
-                                   feature_cells_per_row=pack)
+                                   feature_cells_per_row=pack,
+                                   atlas_dtype=(jnp.bfloat16 if atlas_bf16
+                                                else jnp.float32))
         metric_name = "render_rays_per_sec_per_chip_trained"
     else:
         fused = None  # built below from the analytic field
@@ -465,7 +467,9 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         fused = build_render_grids(params, mcfg, rcfg, state_r, compact=True,
                                    feature_dtype=jnp.bfloat16,
                                    dense_override=dense,
-                                   feature_cells_per_row=pack)
+                                   feature_cells_per_row=pack,
+                                   atlas_dtype=(jnp.bfloat16 if atlas_bf16
+                                                else jnp.float32))
     rays = jax.device_put(rays_all[:chunk])
     if not use_l1:
         # A/B: L2-only flat grouped-bit selection (RenderConfig.use_l1)
@@ -491,6 +495,11 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     rcfg = R.occ_grouping_for(rcfg, state_r)
     regime = "trained" if ckpt is not None else "analytic"
     fp_extra = {}
+    if atlas_bf16:
+        # bf16 atlas rounds the probe densities, so calibrated budgets may
+        # differ — pin separately (`--atlas-dtype bfloat16`; adoption needs
+        # the PQ gate at this dtype first)
+        fp_extra["atlas"] = "bf16"
     if ckpt is not None:
         # pin by checkpoint CONTENT, not just path: a regenerated final.npz
         # must invalidate the pinned budgets (advisor r4 — a stale pin would
@@ -559,7 +568,7 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
          trained_metric: bool = True, k2: int = 12,
          head_tail_eps: float = 2e-3, trained_hterm_eps: float = None,
          trained_k: int = 8, head_select: str = "sort",
-         fine_span: int = 0):
+         fine_span: int = 0, atlas_bf16: bool = False):
     import gc
     import os
     import signal
@@ -601,7 +610,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
     result = _measure_render(chunk, use_l1, pack, termination, group,
                              sub_stride, coarse_stride, ckpt, tail_eps,
                              head_term, k2, head_tail_eps, k=trained_k,
-                             head_select=head_select, fine_span=fine_span)
+                             head_select=head_select, fine_span=fine_span,
+                             atlas_bf16=atlas_bf16)
     gc.collect()  # the 192^3 render tables are locals of _measure_render
     t1 = _time.monotonic() - t_start
     result["analytic_wall_s"] = round(t1, 1)
@@ -634,7 +644,8 @@ def main(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
                                      trained_hterm_eps if trained_hterm_eps
                                      is not None else head_tail_eps,
                                      k=trained_k, head_select=head_select,
-                                     fine_span=fine_span)
+                                     fine_span=fine_span,
+                                     atlas_bf16=atlas_bf16)
                 result["trained_wall_s"] = round(
                     _time.monotonic() - t2_start, 1)
                 result["trained_field_rays_per_sec"] = tr["value"]
@@ -752,4 +763,7 @@ if __name__ == "__main__":
              # A/B: span gathers (RenderConfig.fine_span_rows) — exact
              # implementation swap, validated host-side before tracing
              fine_span=(int(sys.argv[sys.argv.index("--fine-span") + 1])
-                        if "--fine-span" in sys.argv else 0))
+                        if "--fine-span" in sys.argv else 0),
+             # A/B: bf16 brick atlas in both regimes (PQ-gate before adopt)
+             atlas_bf16=("--atlas-dtype" in sys.argv and sys.argv[
+                 sys.argv.index("--atlas-dtype") + 1] == "bfloat16"))

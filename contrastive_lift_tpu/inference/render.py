@@ -103,9 +103,10 @@ def _build_render_grids(params, mcfg, rcfg, state_r):
     import jax.numpy as jnp
     from ..ops.fused_grid import build_render_grids
     dtype = jnp.bfloat16 if rcfg.head_dtype == "bfloat16" else jnp.float32
+    adt = jnp.bfloat16 if rcfg.atlas_dtype == "bfloat16" else jnp.float32
     return build_render_grids(params, mcfg, rcfg, state_r,
                               compact=rcfg.coarse_stride is not None,
-                              feature_dtype=dtype)
+                              feature_dtype=dtype, atlas_dtype=adt)
 
 
 def render_frames(params, mcfg, rcfg, state_r, frames: List[FrameData],

@@ -61,6 +61,13 @@ class RenderConfig:
     head_topk_semins: Optional[int] = None
     # bf16 for head MLP matmuls (grids + transmittance stay fp32)
     head_dtype: str = "float32"
+    # brick-atlas storage dtype for the fine density pass ("float32" |
+    # "bfloat16"). The interp accumulates in f32 either way; bf16 halves the
+    # atlas HBM footprint and read bytes but NOT the row count (the gather
+    # is row-rate-bound, so it measured neutral-to-−1.4% across rounds 4-5).
+    # A fidelity-affecting knob: adopt only behind the PQ gate
+    # (tools/pq_fidelity_gate.py --atlas_dtype bfloat16), like head_dtype.
+    atlas_dtype: str = "float32"
     # two-level empty-space skipping (inference): test coarse segments of
     # ``coarse_stride`` samples against a conservative occupancy grid, keep the
     # ``max_segments`` nearest occupied segments and evaluate density only
@@ -233,6 +240,10 @@ class RenderConfig:
             raise ValueError(
                 "fine_span_rows must be >= 2 (1 row cannot cover a span "
                 "crossing any brick boundary); None disables span gathers")
+        if self.atlas_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"atlas_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.atlas_dtype!r}")
 
 
 class RenderState(NamedTuple):

@@ -732,3 +732,33 @@ def test_validate_fine_span_contract():
          np.full((8, 1), 3.0, np.float32)], -1))
     with pytest.raises(ValueError, match="fine_span_rows"):
         R.calibrate_budgets(mcfg, bad, state_r, probe, fused)
+
+
+def test_atlas_dtype_config_plumbing():
+    """RenderConfig.atlas_dtype reaches the built atlas through the
+    production _build_render_grids path, and the bf16 render stays within
+    the bf16 rounding band of fp32 (fidelity-gated knob, not exact)."""
+    mcfg, params, rcfg0, state_r = _model(grid=48)
+    from contrastive_lift_tpu.inference.render import _build_render_grids
+    base = dataclasses.replace(rcfg0, coarse_stride=16, max_segments=12,
+                               sub_stride=8, max_subsegments=16, head_topk=8)
+    bf = dataclasses.replace(base, atlas_dtype="bfloat16")
+    fused32 = _build_render_grids(params, mcfg, base, state_r)
+    fused16 = _build_render_grids(params, mcfg, bf, state_r)
+    assert fused32.brick_atlas.dtype == jnp.float32
+    assert fused16.brick_atlas.dtype == jnp.bfloat16
+    rng = np.random.default_rng(9)
+    o = rng.uniform(-0.2, 0.2, (64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((64, 1), 0.01, np.float32),
+         np.full((64, 1), 3.0, np.float32)], -1))
+    a = R.render_rays(params, mcfg, base, state_r, rays, None, False,
+                      fused=fused32)
+    b = R.render_rays(params, mcfg, bf, state_r, rays, None, False,
+                      fused=fused16)
+    np.testing.assert_allclose(np.asarray(b["rgb"]), np.asarray(a["rgb"]),
+                               atol=0.05)
+    with pytest.raises(ValueError, match="atlas_dtype"):
+        dataclasses.replace(base, atlas_dtype="fp8")

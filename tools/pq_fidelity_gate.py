@@ -117,7 +117,8 @@ def run_gate(params, mcfg, rcfg, state_r, scene, max_instances: int,
     # keeps the f32 tables inside chip HBM (see tools/fidelity_sweep.py).
     rcfg_dense = _dc.replace(
         rcfg, coarse_stride=None, sub_stride=None, head_topk=None,
-        head_topk_semins=None, head_dtype="float32")
+        head_topk_semins=None, head_dtype="float32",
+        atlas_dtype="float32")  # the reference is fp32 by definition
     t0 = time.time()
     dense_frames = render_frames(params, mcfg, rcfg_dense, state_r,
                                  scene.val_frames, chunk=min(chunk, 1024))
@@ -184,6 +185,10 @@ def main():
                          "head_select; 'rank' = nearest-k above threshold "
                          "needs per-field adjudication, 'iter' is an exact "
                          "top-k implementation swap)")
+    ap.add_argument("--atlas_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="brick-atlas storage dtype to gate (the dense "
+                         "reference always stays fp32)")
     ap.add_argument("--head_tail_eps", type=float, default=2e-3,
                     help="per-ray dropped-mass bound the two-phase head "
                          "calibration may accept (calibrate_budgets "
@@ -208,6 +213,9 @@ def main():
     if args.head_select != "sort":
         import dataclasses as _dc
         rcfg = _dc.replace(rcfg, head_select=args.head_select)
+    if args.atlas_dtype != "float32":
+        import dataclasses as _dc
+        rcfg = _dc.replace(rcfg, atlas_dtype=args.atlas_dtype)
     result = run_gate(params, mcfg, rcfg, state_r, scene, cfg.max_instances,
                       bandwidth=args.bandwidth, gate=args.gate,
                       chunk=cfg.chunk, head_tail_eps=args.head_tail_eps)
@@ -216,6 +224,7 @@ def main():
               "head_topk_semins": rcfg.head_topk_semins,
               "head_dtype": rcfg.head_dtype,
               "head_select": rcfg.head_select,
+              "atlas_dtype": rcfg.atlas_dtype,
               "head_tail_eps": args.head_tail_eps, **result}
     line = json.dumps(result)
     print(line, flush=True)
