@@ -427,7 +427,10 @@ def _measure_render(chunk: int = 8192, use_l1: bool = True, pack: int = 1,
         # benchmark is the 192^3 default
         grid = int(os.environ.get("BENCH_GRID", 192))
         # default chunk 8192: measured fastest pre-bucketing (16k: 327k
-        # rays/s, 8k: 350k); re-sweep with --chunk after balance-point changes
+        # rays/s, 8k: 350k) and re-confirmed at the round-5 k=8 operating
+        # point (16k: analytic 808.2k / trained 948.6k vs 8k: 811.5k /
+        # 984.8k — larger chunks lose ~4% on the trained field's budget
+        # head-room); re-sweep with --chunk after balance-point changes
         cfg = Config(min_grid_dim=grid, max_grid_dim=grid, max_instances=3,
                      instance_loss_mode="slow_fast", use_DINO_style=True,
                      chunk=chunk, seed=0, precision="bf16").resolve_epochs()
