@@ -131,6 +131,11 @@ def main():
         # the ANALYTIC regime's k at the production point (profiler: k=24 ->
         # 12 is -17% full-pass wall)
         candidates = [{"occ": 1e-5, "k": k, "k2": 8} for k in (24, 16, 12, 8)]
+        # bf16-atlas adoption row (round 5): the r5b trained-field PQ gate
+        # passes with atlas_dtype=bfloat16 (FIDELITY_PQ_k8_atlasbf16.json);
+        # this row supplies the matching ANALYTIC-regime error-vs-dense-fp32
+        # fact at the adopted k=8 point
+        candidates.append({"occ": 1e-5, "k": 8, "k2": 8, "atlas": "bfloat16"})
     for c in candidates:
         rcfg = dataclasses.replace(rcfg0, occ_alpha_thres=c["occ"],
                                    head_topk=c["k"], head_topk_semins=c["k2"],
